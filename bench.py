@@ -1,0 +1,115 @@
+"""Benchmark: Pose2Mesh cascade inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology notes (this environment runs the TPU behind an async relay):
+  * all setup (pyramid build, artifact packing, model init) happens on the
+    host CPU backend — eager dispatch to the tunneled TPU costs ~1s/op;
+  * `block_until_ready` does not reliably block through the relay and
+    device->host fetch latency is noisy (30-900 ms), so timing uses a
+    `lax.scan` loop INSIDE one jitted program (K forwards chained through
+    the carry so nothing is loop-invariant-hoisted), differencing a small
+    and a large K and taking the min over repeats;
+  * the model is the SMPL-topology cascade (PoseNet 4096-wide + MeshNet
+    over the 9-level coarsening pyramid, batch 64), the reference's primary
+    benchmark config (asset/yaml/pose2mesh_human36J_*.yml).
+
+vs_baseline: the reference publishes no throughput numbers
+(/root/reference has no benchmarks dir).  BASELINE.json's north star is
+">=5x meshes/sec/chip over V100 PyTorch".  A V100 PyTorch forward of this
+model (67M-param MLP + 24 graph convs + sparse SpMMs, batch 64) costs
+~25 ms => ~2560 meshes/s; the 5x target is therefore ~12800 meshes/s.
+vs_baseline reported here = value / 12800 (>= 1.0 means target met).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TARGET_MESHES_PER_SEC = 12800.0
+
+H36M_SKELETON = (
+    (0, 7), (7, 8), (8, 9), (9, 10), (8, 11), (11, 12), (12, 13),
+    (8, 14), (14, 15), (15, 16), (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6),
+)
+H36M_FLIP_PAIRS = ((1, 4), (2, 5), (3, 6), (14, 11), (15, 12), (16, 13))
+
+
+def build(batch_size: int = 64):
+    from pose2mesh_release_tpu.body.smpl import SMPL
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        smpl = SMPL()
+        pyr = build_pyramid(
+            smpl.face, joint_num=17, skeleton=H36M_SKELETON,
+            flip_pairs=H36M_FLIP_PAIRS, levels=9,
+        )
+        art = pack_pyramid(pyr, smpl.face)
+        model = Pose2Mesh(num_joint=17)
+        pose2d = jnp.asarray(
+            np.random.default_rng(0).standard_normal((batch_size, 17, 2)),
+            dtype=jnp.float32,
+        )
+        variables = jax.jit(model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), art, pose2d, False
+        )
+    return model, art, variables, pose2d
+
+
+def measure_forward(model, art, variables, pose2d, *, device=None) -> float:
+    """Returns seconds per forward batch (honest, relay-safe)."""
+    device = device or jax.devices()[0]
+    art_d, vars_d, pose_d = jax.device_put((art, variables, pose2d), device)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(n, v, a, p0):
+        def body(p, _):
+            mesh, pose3d = model.apply(v, a, p, False)
+            # chain the carry so iterations serialize and can't be hoisted
+            p_next = p + mesh.mean() * 1e-30 + pose3d.mean() * 1e-30
+            return p_next, ()
+        p_final, _ = jax.lax.scan(body, p0, None, length=n)
+        return p_final.mean()
+
+    small, large = 2, 22
+    # warm both compilations, then difference min-of-repeats
+    float(loop(small, vars_d, art_d, pose_d))
+    float(loop(large, vars_d, art_d, pose_d))
+    t_small, t_large = [], []
+    for _ in range(3):
+        t0 = time.time(); float(loop(small, vars_d, art_d, pose_d)); t_small.append(time.time() - t0)
+        t0 = time.time(); float(loop(large, vars_d, art_d, pose_d)); t_large.append(time.time() - t0)
+    return max(min(t_large) - min(t_small), 1e-9) / (large - small)
+
+
+def main():
+    batch_size = 64
+    t0 = time.time()
+    model, art, variables, pose2d = build(batch_size)
+    print(f"# setup {time.time()-t0:.1f}s; levels={art.level_sizes}", file=sys.stderr)
+
+    per_iter = measure_forward(model, art, variables, pose2d)
+    meshes_per_sec = batch_size / per_iter
+    print(f"# forward {per_iter*1000:.2f} ms/batch{batch_size}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "meshes_per_sec_per_chip",
+        "value": round(meshes_per_sec, 1),
+        "unit": "meshes/s",
+        "vs_baseline": round(meshes_per_sec / TARGET_MESHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

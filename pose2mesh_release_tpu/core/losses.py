@@ -1,0 +1,103 @@
+"""Training losses.
+
+Reference: /root/reference/lib/core/loss.py + weighting/gating in
+lib/core/base.py:110-143.  All losses are pure jittable functions; the
+per-element validity masking multiplies *both* prediction and target before
+the mean over every element (including masked ones), exactly matching the
+reference's CoordLoss semantics.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["coord_l1", "normal_vector_loss", "edge_length_loss", "pose2mesh_loss"]
+
+
+def coord_l1(pred: jax.Array, target: jax.Array, valid: jax.Array | None = None) -> jax.Array:
+    """Masked L1 (loss.py:10-23): mean over ALL elements with masked entries
+    contributing zero (the mask scales both operands)."""
+    if valid is not None:
+        pred = pred * valid
+        target = target * valid
+    return jnp.abs(pred - target).mean()
+
+
+def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # torch F.normalize: v / max(||v||, eps)
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def normal_vector_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array) -> jax.Array:
+    """Surface-normal consistency (loss.py:62-88): |cos| between predicted
+    edge vectors and ground-truth face normals, averaged over faces."""
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+
+    v1o = _normalize(pred[:, f1] - pred[:, f0])
+    v2o = _normalize(pred[:, f2] - pred[:, f0])
+    v3o = _normalize(pred[:, f2] - pred[:, f1])
+
+    v1g = _normalize(gt[:, f1] - gt[:, f0])
+    v2g = _normalize(gt[:, f2] - gt[:, f0])
+    ng = _normalize(jnp.cross(v1g, v2g))
+
+    cos1 = jnp.abs((v1o * ng).sum(-1))
+    cos2 = jnp.abs((v2o * ng).sum(-1))
+    cos3 = jnp.abs((v3o * ng).sum(-1))
+    return jnp.stack([cos1, cos2, cos3]).mean()
+
+
+def edge_length_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array) -> jax.Array:
+    """Edge-length preservation (loss.py:91-114)."""
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+
+    def elen(x, a, b):
+        return jnp.sqrt(((x[:, a] - x[:, b]) ** 2).sum(-1))
+
+    d1 = jnp.abs(elen(pred, f0, f1) - elen(gt, f0, f1))
+    d2 = jnp.abs(elen(pred, f0, f2) - elen(gt, f0, f2))
+    d3 = jnp.abs(elen(pred, f1, f2) - elen(gt, f1, f2))
+    return jnp.stack([d1, d2, d3]).mean()
+
+
+def pose2mesh_loss(
+    pred_mesh: jax.Array,       # (B, V, 3) meters, original vertex order
+    lift_pose: jax.Array,       # (B, J, 3) mm (PoseNet output)
+    pred_reg_pose: jax.Array,   # (B, J_t, 3) mm (J_regressor @ mesh*1000)
+    targets: Dict[str, jax.Array],
+    faces: jax.Array,
+    *,
+    normal_weight: float = 0.1,
+    edge_weight: float = 20.0,
+    joint_weight: float = 1e-3,
+    use_edge_loss: jax.Array | bool = False,
+) -> Dict[str, jax.Array]:
+    """Full training objective (base.py:134-143).
+
+    targets: mesh (B,V,3) m, mesh_valid, reg_pose3d (B,J_t,3) mm,
+    reg_pose3d_valid, lift_pose3d (B,J,3) mm, lift_pose3d_valid.
+    `use_edge_loss` gates the edge term (enabled when epoch >
+    TRAIN.edge_loss_start); pass a traced bool to keep one compiled step.
+    """
+    l_vert = coord_l1(pred_mesh, targets["mesh"], targets["mesh_valid"])
+    l_norm = normal_weight * normal_vector_loss(pred_mesh, targets["mesh"], faces)
+    l_edge = edge_weight * edge_length_loss(pred_mesh, targets["mesh"], faces)
+    l_edge = jnp.where(use_edge_loss, l_edge, 0.0)
+    l_reg = joint_weight * coord_l1(
+        pred_reg_pose, targets["reg_pose3d"], targets["reg_pose3d_valid"]
+    )
+    l_lift = joint_weight * coord_l1(
+        lift_pose, targets["lift_pose3d"], targets["lift_pose3d_valid"]
+    )
+    total = l_vert + l_norm + l_edge + l_reg + l_lift
+    return {
+        "total": total,
+        "vertex": l_vert,
+        "normal": l_norm,
+        "edge": l_edge,
+        "reg_joint": l_reg,
+        "lift_joint": l_lift,
+    }

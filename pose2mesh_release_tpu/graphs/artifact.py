@@ -1,0 +1,289 @@
+"""Device-ready graph operator artifacts.
+
+This module turns the host-side scipy pyramid (`graphs.build.GraphPyramid`)
+into the constant tensor pack the TPU compute path consumes.  The design is
+deliberately *not* a port of the reference's `torch.sparse` Laplacians
+(lib/models/meshnet.py:61-62): TPUs want dense MXU tiles and static shapes,
+so each pyramid level is
+
+  1. reordered with reverse Cuthill–McKee to concentrate the Laplacian's
+     nonzeros near the diagonal (the tree ordering required by the
+     reference's reshape-based pooling is replaced by explicit precomputed
+     gather maps, freeing the vertex ordering for bandwidth minimization);
+  2. packed as block-compressed-sparse-row (BCSR) with dense
+     `block_size x block_size` tiles so SpMM becomes a short sum of dense
+     MXU matmuls per row-tile — or stored fully dense for small levels
+     where a single matmul is cheaper than any sparse bookkeeping;
+  3. also packed as ELLPACK (fixed-width neighbor lists) as a
+     gather-based fallback/verification path.
+
+Pooling (x2 nearest upsample between levels, lib/models/meshnet.py:71-78)
+and the final un-permutation to original SMPL/MANO vertex order
+(lib/core/base.py:130) become single precomputed index gathers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+import jax
+import jax.numpy as jnp
+
+from .build import GraphPyramid
+from .coarsen import invert_permutation
+
+__all__ = ["LevelOperator", "PyramidArtifact", "pack_pyramid", "save_artifact", "load_artifact"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LevelOperator:
+    """One pyramid level's rescaled Laplacian in device-friendly layouts.
+
+    Array fields are pytree leaves; `kind`/`num_vertices`/`block_size` are
+    static metadata so jit specializes per level.
+
+    kind == "dense": `dense` is the (V, V) matrix, other fields empty.
+    kind == "bcsr": `blk_col[t, b]` is the column-tile index of the b-th
+        nonzero block in row-tile t (padded entries point at column-tile 0
+        with an all-zero `blk_val` block); `blk_val` is
+        (num_row_tiles, max_blocks, block_size, block_size).
+    Both kinds carry the ELL form (`ell_idx`, `ell_w`) for gather-based
+    verification; padded ELL entries self-reference with weight 0.
+    """
+
+    dense: jax.Array
+    blk_col: jax.Array
+    blk_val: jax.Array
+    ell_idx: jax.Array
+    ell_w: jax.Array
+    kind: str = dataclasses.field(metadata=dict(static=True), default="dense")
+    num_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
+    block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+    @property
+    def nnz(self) -> int:
+        return int((np.asarray(self.ell_w) != 0).sum())
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PyramidArtifact:
+    """All constants the MeshNet needs for one mesh/joint-set config.
+
+    mesh_ops: per-level operators, finest first (SMPL: V = 12288 .. 96).
+    joint_op: the joint-graph operator (dense, unrescaled Laplacian).
+    up_idx: up_idx[k] maps level-(k+1) device positions to level-k device
+        positions: fine[p] = coarse[up_idx[k][p]]  (len(up_idx) = levels-1).
+    vertex_gather: (num_mesh_vertices,) indices into the finest level's
+        device ordering restoring original SMPL/MANO vertex order.
+    faces: (T, 3) triangle faces in original vertex order (for losses).
+    """
+
+    mesh_ops: Tuple[LevelOperator, ...]
+    joint_op: LevelOperator
+    up_idx: Tuple[jax.Array, ...]
+    vertex_gather: jax.Array
+    faces: jax.Array
+    joint_num: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def level_sizes(self) -> Tuple[int, ...]:
+        return tuple(op.num_vertices for op in self.mesh_ops)
+
+
+def _pack_ell(L: sp.csr_matrix) -> Tuple[np.ndarray, np.ndarray]:
+    L = sp.csr_matrix(L)
+    V = L.shape[0]
+    widths = np.diff(L.indptr)
+    D = max(int(widths.max()) if V else 1, 1)
+    idx = np.tile(np.arange(V, dtype=np.int32)[:, None], (1, D))
+    w = np.zeros((V, D), dtype=np.float32)
+    for v in range(V):
+        lo, hi = L.indptr[v], L.indptr[v + 1]
+        n = hi - lo
+        idx[v, :n] = L.indices[lo:hi]
+        w[v, :n] = L.data[lo:hi]
+    return idx, w
+
+
+def _pack_bcsr(L: sp.csr_matrix, T: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a (V, V) sparse matrix into padded BCSR with T x T dense blocks."""
+    L = sp.csr_matrix(L)
+    V = L.shape[0]
+    nt = _cdiv(V, T)
+    Vp = nt * T
+    if Vp != V:
+        L = sp.csr_matrix((L.data, L.indices, L.indptr), shape=(V, V))
+        L.resize((Vp, Vp))
+    coo = L.tocoo()
+    bt_row = coo.row // T
+    bt_col = coo.col // T
+    # nonzero block set per row tile
+    blocks: Dict[int, Dict[int, np.ndarray]] = {t: {} for t in range(nt)}
+    for r, c, v in zip(coo.row, coo.col, coo.data):
+        d = blocks[r // T]
+        ct = c // T
+        if ct not in d:
+            d[ct] = np.zeros((T, T), dtype=np.float32)
+        d[ct][r % T, c % T] = v
+    maxb = max((len(d) for d in blocks.values()), default=1)
+    maxb = max(maxb, 1)
+    blk_col = np.zeros((nt, maxb), dtype=np.int32)
+    blk_val = np.zeros((nt, maxb, T, T), dtype=np.float32)
+    for t in range(nt):
+        for b, (ct, val) in enumerate(sorted(blocks[t].items())):
+            blk_col[t, b] = ct
+            blk_val[t, b] = val
+    return blk_col, blk_val
+
+
+def _make_level_op(
+    L: sp.csr_matrix,
+    kind: str,
+    block_size: int,
+) -> LevelOperator:
+    L = sp.csr_matrix(L, dtype=np.float64)
+    V = L.shape[0]
+    ell_idx, ell_w = _pack_ell(L)
+    empty = jnp.zeros((0,), jnp.float32)
+    if kind == "dense":
+        dense = jnp.asarray(L.toarray(), dtype=jnp.float32)
+        return LevelOperator(
+            dense=dense, blk_col=empty.astype(jnp.int32), blk_val=empty,
+            ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
+            kind="dense", num_vertices=V, block_size=block_size,
+        )
+    blk_col, blk_val = _pack_bcsr(L, block_size)
+    return LevelOperator(
+        dense=empty, blk_col=jnp.asarray(blk_col), blk_val=jnp.asarray(blk_val),
+        ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
+        kind="bcsr", num_vertices=V, block_size=block_size,
+    )
+
+
+def pack_pyramid(
+    pyr: GraphPyramid,
+    faces: Optional[np.ndarray] = None,
+    *,
+    ordering: str = "rcm",
+    block_size: int = 128,
+    dense_threshold: int = 768,
+) -> PyramidArtifact:
+    """Pack a host pyramid into the device artifact.
+
+    ordering: "rcm" applies per-level reverse Cuthill–McKee on top of the
+        tree order (bandwidth-minimizing, the BCSR-friendly default);
+        "tree" keeps the reference's binary-tree order.
+    dense_threshold: levels with V <= threshold are stored dense (a single
+        MXU matmul beats sparse bookkeeping at these sizes).
+    """
+    n_levels = len(pyr.mesh_laplacians)
+    # rho[k][p] = tree slot stored at device position p for level k
+    rhos: List[np.ndarray] = []
+    for k in range(n_levels):
+        V = pyr.mesh_laplacians[k].shape[0]
+        if ordering == "rcm" and V > dense_threshold:
+            adj = pyr.mesh_adjacencies[k]
+            rho = np.asarray(
+                reverse_cuthill_mckee(sp.csr_matrix(adj), symmetric_mode=True),
+                dtype=np.int64,
+            )
+        else:
+            rho = np.arange(V, dtype=np.int64)
+        rhos.append(rho)
+
+    mesh_ops: List[LevelOperator] = []
+    for k in range(n_levels):
+        L = sp.csr_matrix(pyr.mesh_laplacians[k])
+        rho = rhos[k]
+        L = L[rho][:, rho]
+        V = L.shape[0]
+        kind = "dense" if V <= dense_threshold else "bcsr"
+        mesh_ops.append(_make_level_op(L, kind, block_size))
+
+    joint_op = _make_level_op(pyr.joint_laplacian, "dense", block_size)
+
+    up_idx: List[jnp.ndarray] = []
+    for k in range(n_levels - 1):
+        rho_f, rho_c = rhos[k], rhos[k + 1]
+        inv_c = invert_permutation(rho_c)
+        up = inv_c[rho_f // 2]
+        up_idx.append(jnp.asarray(up.astype(np.int32)))
+
+    inv0 = invert_permutation(rhos[0])
+    vertex_gather = jnp.asarray(inv0[pyr.vertex_slot].astype(np.int32))
+
+    return PyramidArtifact(
+        mesh_ops=tuple(mesh_ops),
+        joint_op=joint_op,
+        up_idx=tuple(up_idx),
+        vertex_gather=vertex_gather,
+        faces=(jnp.asarray(np.asarray(faces, dtype=np.int32))
+               if faces is not None else jnp.zeros((0, 3), jnp.int32)),
+        joint_num=pyr.joint_num,
+        num_vertices=pyr.num_vertices,
+    )
+
+
+def _flatten_for_save(art: PyramidArtifact) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {
+        "meta/num_levels": np.int64(len(art.mesh_ops)),
+        "meta/joint_num": np.int64(art.joint_num),
+        "meta/num_vertices": np.int64(art.num_vertices),
+        "vertex_gather": np.asarray(art.vertex_gather),
+        "faces": np.asarray(art.faces),
+    }
+    def put(prefix: str, op: LevelOperator):
+        out[f"{prefix}/kind"] = np.bytes_(op.kind)
+        out[f"{prefix}/num_vertices"] = np.int64(op.num_vertices)
+        out[f"{prefix}/block_size"] = np.int64(op.block_size)
+        for f in ("dense", "blk_col", "blk_val", "ell_idx", "ell_w"):
+            out[f"{prefix}/{f}"] = np.asarray(getattr(op, f))
+    for k, op in enumerate(art.mesh_ops):
+        put(f"mesh/{k}", op)
+    put("joint", art.joint_op)
+    for k, up in enumerate(art.up_idx):
+        out[f"up/{k}"] = np.asarray(up)
+    return out
+
+
+def save_artifact(path: str, art: PyramidArtifact) -> None:
+    np.savez_compressed(path, **_flatten_for_save(art))
+
+
+def load_artifact(path: str) -> PyramidArtifact:
+    z = np.load(path, allow_pickle=False)
+    n = int(z["meta/num_levels"])
+
+    def get(prefix: str) -> LevelOperator:
+        return LevelOperator(
+            dense=jnp.asarray(z[f"{prefix}/dense"]),
+            blk_col=jnp.asarray(z[f"{prefix}/blk_col"]),
+            blk_val=jnp.asarray(z[f"{prefix}/blk_val"]),
+            ell_idx=jnp.asarray(z[f"{prefix}/ell_idx"]),
+            ell_w=jnp.asarray(z[f"{prefix}/ell_w"]),
+            kind=bytes(z[f"{prefix}/kind"]).decode(),
+            num_vertices=int(z[f"{prefix}/num_vertices"]),
+            block_size=int(z[f"{prefix}/block_size"]),
+        )
+
+    return PyramidArtifact(
+        mesh_ops=tuple(get(f"mesh/{k}") for k in range(n)),
+        joint_op=get("joint"),
+        up_idx=tuple(jnp.asarray(z[f"up/{k}"]) for k in range(n - 1)),
+        vertex_gather=jnp.asarray(z["vertex_gather"]),
+        faces=jnp.asarray(z["faces"]),
+        joint_num=int(z["meta/joint_num"]),
+        num_vertices=int(z["meta/num_vertices"]),
+    )

@@ -1,0 +1,123 @@
+"""Model tests: ChebConv semantics, MeshNet pyramid walk, cascade wiring."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pose2mesh_release_tpu.body.synthetic import uv_sphere
+from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+from pose2mesh_release_tpu.graphs.build import build_pyramid
+from pose2mesh_release_tpu.models.meshnet import (
+    MeshNet,
+    channel_interp_matrix,
+    extract_mesh,
+)
+from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+from pose2mesh_release_tpu.models.posenet import PoseNet
+from pose2mesh_release_tpu.ops.cheby import chebyshev_stack
+
+J = 7
+SKEL = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
+# small test schedule: 5 blocks for the 3 mesh levels of a levels=4 pyramid
+TEST_BLOCKS = ((5, 8, 8), (8, 16), (16, 16), (16, 16), (16, 8, 3))
+
+
+@pytest.fixture(scope="module")
+def art():
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=J, skeleton=SKEL, levels=4)
+    return pack_pyramid(pyr, faces, dense_threshold=300)
+
+
+def test_channel_interp_matrix_against_torch():
+    import torch
+    for fin, fout in [(64, 256), (256, 128), (8, 16), (16, 3)]:
+        M = channel_interp_matrix(fin, fout)
+        x = np.random.default_rng(0).standard_normal((2, 5, fin)).astype(np.float32)
+        ours = x @ M.T
+        theirs = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=fout, mode="linear"
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_chebyshev_stack_layout(art):
+    """Feature layout must be fin-major (index = fin*K + k), matching the
+    reference's view chain (cheby_graph_conv.py:31-35)."""
+    op = art.joint_op
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, J, 3)).astype(np.float32))
+    K = 3
+    s = chebyshev_stack(op, x, K)
+    assert s.shape == (2, J, 9)
+    L = np.asarray(op.dense)
+    x0 = np.asarray(x)
+    x1 = np.einsum("vw,bwc->bvc", L, x0)
+    x2 = 2 * np.einsum("vw,bwc->bvc", L, x1) - x0
+    for fin in range(3):
+        np.testing.assert_allclose(np.asarray(s[..., fin * K + 0]), x0[..., fin], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s[..., fin * K + 1]), x1[..., fin], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s[..., fin * K + 2]), x2[..., fin], atol=1e-4)
+
+
+def test_meshnet_forward_shapes(art):
+    model = MeshNet(blocks=TEST_BLOCKS)
+    x = jnp.zeros((2, J, 5))
+    variables = model.init(jax.random.PRNGKey(0), art, x, False)
+    y = model.apply(variables, art, x, False)
+    V_pad = art.mesh_ops[0].num_vertices
+    assert y.shape == (2, V_pad, 3)
+    mesh = extract_mesh(art, y)
+    assert mesh.shape == (2, 770, 3)
+
+
+def test_meshnet_batchnorm_state(art):
+    model = MeshNet(blocks=TEST_BLOCKS)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, J, 5)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), art, x, True)
+    assert "batch_stats" in variables
+    y, mutated = model.apply(variables, art, x, True, mutable=["batch_stats"])
+    # running stats must move after a train-mode pass
+    leaves0 = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves1 = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+def test_cascade_stop_gradient(art):
+    """MeshNet gradients must not flow into PoseNet through the cascade
+    (pose2mesh_net.py:19 detach semantics)."""
+    model = Pose2Mesh(num_joint=J, posenet_hidden=64, blocks=TEST_BLOCKS)
+    pose2d = jnp.asarray(np.random.default_rng(2).standard_normal((2, J, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), art, pose2d, False)
+
+    def mesh_only_loss(params):
+        mesh, _ = model.apply({**variables, "params": params}, art, pose2d, False)
+        return (mesh ** 2).sum()
+
+    g = jax.grad(mesh_only_loss)(variables["params"])
+    posenet_grads = jax.tree_util.tree_leaves(g["pose_lifter"])
+    meshnet_grads = jax.tree_util.tree_leaves(g["pose2mesh"])
+    assert all(np.allclose(np.asarray(x), 0) for x in posenet_grads)
+    assert any(not np.allclose(np.asarray(x), 0) for x in meshnet_grads)
+
+
+def test_posenet_output_shape():
+    model = PoseNet(num_joint=J, hidden=32)
+    x = jnp.zeros((3, J, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    y = model.apply(variables, x, False)
+    assert y.shape == (3, J * 3)
+
+
+def test_posenet_dropout_only_in_train():
+    model = PoseNet(num_joint=J, hidden=32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, J, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    y1 = model.apply(variables, x, False)
+    y2 = model.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+    t1 = model.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(1)},
+                     mutable=["batch_stats"])[0]
+    t2 = model.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(2)},
+                     mutable=["batch_stats"])[0]
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
