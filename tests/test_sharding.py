@@ -1,0 +1,89 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pose2mesh_release_tpu.parallel.mesh import make_mesh
+from pose2mesh_release_tpu.parallel.sharding import (
+    shard_artifact,
+    shard_batch,
+    shard_state,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(graph_axis=2)
+    assert dict(mesh.shape) == {"data": 4, "graph": 2}
+    mesh = make_mesh(graph_axis=1)
+    assert dict(mesh.shape) == {"data": 8, "graph": 1}
+    with pytest.raises(ValueError):
+        make_mesh(graph_axis=3)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device():
+    """The pjit'd train step on a (4,2) mesh must produce the same losses
+    and parameters as the unsharded step (SPMD is a layout, not a model
+    change)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_small
+    from pose2mesh_release_tpu.core.optim import make_preconditioner
+    from pose2mesh_release_tpu.core.train import TrainState, make_train_step
+
+    art, model = _build_small()
+    rng = np.random.default_rng(0)
+    B, V, J = 8, art.num_vertices, art.joint_num
+    batch = {
+        "pose2d": jnp.asarray(rng.standard_normal((B, J, 2)), jnp.float32),
+        "mesh": jnp.asarray(rng.standard_normal((B, V, 3)) * 0.1, jnp.float32),
+        "mesh_valid": jnp.ones((B, V, 3), jnp.float32),
+        "reg_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "reg_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+        "lift_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "lift_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+    }
+    j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
+    j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
+    variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"], False)
+    # SGD: post-step params differ from reference exactly by lr*grad, so the
+    # comparison below checks cross-shard gradient agreement directly.
+    # (RMSprop's g/(0.1|g|+eps) at step 1 amplifies benign reduction-order
+    # noise on near-zero gradients and cannot be compared elementwise.)
+    tx = make_preconditioner("sgd")
+    step = jax.jit(make_train_step(model, tx, j_reg))
+    key = jax.random.PRNGKey(1)
+
+    # single-device reference
+    s0 = TrainState.create(variables, tx)
+    s1, losses_ref = step(s0, art, batch, jnp.float32(1e-3), jnp.bool_(True), key)
+
+    # sharded
+    mesh = make_mesh(graph_axis=2)
+    s0s = shard_state(mesh, TrainState.create(variables, tx))
+    s1s, losses_sh = step(
+        s0s, shard_artifact(mesh, art), shard_batch(mesh, batch),
+        jnp.float32(1e-3), jnp.bool_(True), key,
+    )
+    np.testing.assert_allclose(
+        float(losses_ref["total"]), float(losses_sh["total"]), rtol=1e-5
+    )
+    # parameters after one step must agree
+    flat_ref = jax.tree_util.tree_leaves(s1.params)
+    flat_sh = jax.tree_util.tree_leaves(s1s.params)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

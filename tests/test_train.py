@@ -1,0 +1,159 @@
+"""Engine tests: losses, train step semantics, overfit smoke."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pose2mesh_release_tpu.body.synthetic import uv_sphere
+from pose2mesh_release_tpu.core.losses import (
+    coord_l1,
+    edge_length_loss,
+    normal_vector_loss,
+)
+from pose2mesh_release_tpu.core.metrics import mpjpe, pa_mpjpe, rigid_align
+from pose2mesh_release_tpu.core.optim import ReduceLROnPlateau, make_preconditioner, multistep_lr
+from pose2mesh_release_tpu.core.train import TrainState, make_posenet_steps, make_train_step
+from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+from pose2mesh_release_tpu.graphs.build import build_pyramid
+from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+from pose2mesh_release_tpu.models.posenet import PoseNet
+
+J = 7
+SKEL = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
+TEST_BLOCKS = ((5, 8, 8), (8, 16), (16, 16), (16, 16), (16, 8, 3))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=J, skeleton=SKEL, levels=4)
+    art = pack_pyramid(pyr, faces, dense_threshold=300)
+    model = Pose2Mesh(num_joint=J, posenet_hidden=64, blocks=TEST_BLOCKS)
+    return art, model, faces
+
+
+def _batch(rng, B, V):
+    return {
+        "pose2d": jnp.asarray(rng.standard_normal((B, J, 2)), jnp.float32),
+        "mesh": jnp.asarray(rng.standard_normal((B, V, 3)) * 0.1, jnp.float32),
+        "mesh_valid": jnp.ones((B, V, 3), jnp.float32),
+        "reg_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "reg_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+        "lift_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "lift_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+    }
+
+
+def test_coord_l1_masking():
+    pred = jnp.ones((2, 4, 3))
+    target = jnp.zeros((2, 4, 3))
+    valid = jnp.zeros((2, 4, 3)).at[:, :2].set(1.0)
+    # masked entries contribute 0 but stay in the denominator (reference
+    # CoordLoss semantics, loss.py:10-23)
+    assert float(coord_l1(pred, target, valid)) == pytest.approx(0.5)
+    assert float(coord_l1(pred, target, None)) == pytest.approx(1.0)
+
+
+def test_normal_and_edge_losses_zero_at_gt():
+    _, faces = uv_sphere(110)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((2, 110, 3)), jnp.float32)
+    f = jnp.asarray(faces)
+    assert float(edge_length_loss(gt, gt, f)) == pytest.approx(0.0, abs=1e-6)
+    # normal loss at gt: edges are perpendicular to gt normals -> ~0
+    assert float(normal_vector_loss(gt, gt, f)) == pytest.approx(0.0, abs=1e-5)
+    # a perturbed mesh must score strictly worse
+    pred = gt + 0.1 * jnp.asarray(rng.standard_normal((2, 110, 3)), jnp.float32)
+    assert float(edge_length_loss(pred, gt, f)) > 0.01
+    assert float(normal_vector_loss(pred, gt, f)) > 0.01
+
+
+def test_metrics_procrustes():
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.standard_normal((4, 17, 3)), jnp.float32)
+    # a similarity transform of gt must align exactly -> PA-MPJPE ~ 0
+    theta = 0.7
+    R = jnp.asarray(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]],
+        jnp.float32,
+    )
+    pred = 2.0 * gt @ R.T + jnp.asarray([1.0, -2.0, 3.0])
+    assert float(pa_mpjpe(pred, gt)) == pytest.approx(0.0, abs=1e-3)
+    assert float(mpjpe(gt, gt)) == 0.0
+    aligned = rigid_align(pred[0], gt[0])
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(gt[0]), atol=1e-4)
+
+
+def test_train_step_decreases_loss(setup):
+    art, model, faces = setup
+    rng = np.random.default_rng(0)
+    B, V = 8, art.num_vertices
+    batch = _batch(rng, B, V)
+    j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
+    j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
+
+    variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"], False)
+    tx = make_preconditioner("rmsprop")
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, tx, j_reg))
+
+    losses_hist = []
+    for i in range(30):
+        state, losses = step(state, art, batch, jnp.float32(1e-3),
+                             jnp.bool_(False), jax.random.PRNGKey(42))
+        losses_hist.append(float(losses["total"]))
+    assert int(state.step) == 30
+    assert all(np.isfinite(losses_hist))
+    # overfitting one batch must cut the loss substantially
+    assert losses_hist[-1] < 0.7 * losses_hist[0], losses_hist[::10]
+
+
+def test_edge_loss_gate(setup):
+    art, model, _ = setup
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, 4, art.num_vertices)
+    j_reg = jnp.ones((J, art.num_vertices), jnp.float32) / art.num_vertices
+    variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"], False)
+    tx = make_preconditioner("rmsprop")
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, tx, j_reg))
+    _, l_off = step(state, art, batch, jnp.float32(1e-3), jnp.bool_(False), jax.random.PRNGKey(0))
+    _, l_on = step(state, art, batch, jnp.float32(1e-3), jnp.bool_(True), jax.random.PRNGKey(0))
+    assert float(l_off["edge"]) == 0.0
+    assert float(l_on["edge"]) > 0.0
+    assert float(l_on["total"]) == pytest.approx(
+        float(l_off["total"]) + float(l_on["edge"]), rel=1e-5
+    )
+
+
+def test_posenet_overfit():
+    model = PoseNet(num_joint=J, hidden=64)
+    rng = np.random.default_rng(0)
+    batch = {
+        "pose2d": jnp.asarray(rng.standard_normal((8, J, 2)), jnp.float32),
+        "pose3d": jnp.asarray(rng.standard_normal((8, J, 3)) * 50, jnp.float32),
+        "pose3d_valid": jnp.ones((8, J, 3), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["pose2d"], False)
+    tx = make_preconditioner("adam")
+    state = TrainState.create(variables, tx)
+    train_step, eval_step = make_posenet_steps(model, tx)
+    train_step = jax.jit(train_step)
+    l0 = None
+    for i in range(60):
+        state, loss = train_step(state, batch, jnp.float32(1e-2), jax.random.PRNGKey(1))
+        l0 = l0 or float(loss)
+    assert float(loss) < 0.5 * l0
+    pred = eval_step(state, batch["pose2d"])
+    assert pred.shape == (8, J, 3)
+
+
+def test_schedules():
+    lr = multistep_lr(1e-3, [12], 0.1)
+    assert lr(1) == pytest.approx(1e-3)
+    assert lr(12) == pytest.approx(1e-4)
+    assert lr(20) == pytest.approx(1e-4)
+    sched = ReduceLROnPlateau(1e-3, patience=1)
+    lrs = [sched.step(5.0), sched.step(5.0), sched.step(5.0)]
+    assert lrs[-1] == pytest.approx(1e-4)
