@@ -43,11 +43,16 @@ H36M_FLIP_PAIRS = ((1, 4), (2, 5), (3, 6), (14, 11), (15, 12), (16, 13))
 
 
 def build(batch_size: int = 64):
+    import os
+
     from pose2mesh_release_tpu.body.smpl import SMPL
     from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
     from pose2mesh_release_tpu.graphs.build import build_pyramid
     from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
 
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("P2M_DTYPE", "bf16")
+    ]
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         smpl = SMPL()
@@ -56,7 +61,8 @@ def build(batch_size: int = 64):
             flip_pairs=H36M_FLIP_PAIRS, levels=9,
         )
         art = pack_pyramid(pyr, smpl.face)
-        model = Pose2Mesh(num_joint=17)
+        model = Pose2Mesh(num_joint=17, dtype=dtype,
+                          use_pallas=os.environ.get("P2M_PALLAS", "1") == "1")
         pose2d = jnp.asarray(
             np.random.default_rng(0).standard_normal((batch_size, 17, 2)),
             dtype=jnp.float32,

@@ -57,18 +57,28 @@ class LevelOperator:
         nonzero block in row-tile t (padded entries point at column-tile 0
         with an all-zero `blk_val` block); `blk_val` is
         (num_row_tiles, max_blocks, block_size, block_size).
-    Both kinds carry the ELL form (`ell_idx`, `ell_w`) for gather-based
+    kind == "band": strict block-banded form — RCM ordering bounds the
+        matrix bandwidth, so the only nonzero blocks lie on the
+        2*band_k+1 block diagonals.  `band_val[d, t]` is the (T, T) block
+        at block-row t, block-column t + d - band_k (out-of-range blocks
+        are zero).  SpMM then needs NO gather at all: it is a sum of
+        shifted batched dense matmuls that ride the MXU directly (see
+        ops.spmm.spmm_band) — the TPU-native replacement for the
+        reference's torch.sparse.mm (cheby_graph_conv.py:25-28).
+    All kinds carry the ELL form (`ell_idx`, `ell_w`) for gather-based
     verification; padded ELL entries self-reference with weight 0.
     """
 
     dense: jax.Array
     blk_col: jax.Array
     blk_val: jax.Array
+    band_val: jax.Array
     ell_idx: jax.Array
     ell_w: jax.Array
     kind: str = dataclasses.field(metadata=dict(static=True), default="dense")
     num_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+    band_k: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def nnz(self) -> int:
@@ -148,6 +158,26 @@ def _pack_bcsr(L: sp.csr_matrix, T: int) -> Tuple[np.ndarray, np.ndarray]:
     return blk_col, blk_val
 
 
+def _pack_band(L: sp.csr_matrix, T: int) -> Tuple[np.ndarray, int]:
+    """Pack a (V, V) sparse matrix into strict block-band form.
+
+    Returns band_val (nbd, nt, T, T) with nbd = 2*band_k + 1 block
+    diagonals; band_val[d, t] is the block at (t, t + d - band_k).
+    """
+    L = sp.csr_matrix(L)
+    V = L.shape[0]
+    nt = _cdiv(V, T)
+    coo = L.tocoo()
+    bw = int(np.abs(coo.row // T - coo.col // T).max()) if coo.nnz else 0
+    band_k = bw
+    nbd = 2 * band_k + 1
+    band_val = np.zeros((nbd, nt, T, T), dtype=np.float32)
+    for r, c, v in zip(coo.row, coo.col, coo.data):
+        t, ct = r // T, c // T
+        band_val[ct - t + band_k, t, r % T, c % T] = v
+    return band_val, band_k
+
+
 def _make_level_op(
     L: sp.csr_matrix,
     kind: str,
@@ -157,16 +187,26 @@ def _make_level_op(
     V = L.shape[0]
     ell_idx, ell_w = _pack_ell(L)
     empty = jnp.zeros((0,), jnp.float32)
+    empty_i = jnp.zeros((0,), jnp.int32)
     if kind == "dense":
         dense = jnp.asarray(L.toarray(), dtype=jnp.float32)
         return LevelOperator(
-            dense=dense, blk_col=empty.astype(jnp.int32), blk_val=empty,
+            dense=dense, blk_col=empty_i, blk_val=empty, band_val=empty,
             ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
             kind="dense", num_vertices=V, block_size=block_size,
+        )
+    if kind == "band":
+        band_val, band_k = _pack_band(L, block_size)
+        return LevelOperator(
+            dense=empty, blk_col=empty_i, blk_val=empty,
+            band_val=jnp.asarray(band_val),
+            ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
+            kind="band", num_vertices=V, block_size=block_size, band_k=band_k,
         )
     blk_col, blk_val = _pack_bcsr(L, block_size)
     return LevelOperator(
         dense=empty, blk_col=jnp.asarray(blk_col), blk_val=jnp.asarray(blk_val),
+        band_val=empty,
         ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
         kind="bcsr", num_vertices=V, block_size=block_size,
     )
@@ -179,14 +219,18 @@ def pack_pyramid(
     ordering: str = "rcm",
     block_size: int = 128,
     dense_threshold: int = 768,
+    sparse_kind: str = "band",
 ) -> PyramidArtifact:
     """Pack a host pyramid into the device artifact.
 
     ordering: "rcm" applies per-level reverse Cuthill–McKee on top of the
-        tree order (bandwidth-minimizing, the BCSR-friendly default);
+        tree order (bandwidth-minimizing, the band/BCSR-friendly default);
         "tree" keeps the reference's binary-tree order.
     dense_threshold: levels with V <= threshold are stored dense (a single
         MXU matmul beats sparse bookkeeping at these sizes).
+    sparse_kind: layout for levels above the threshold: "band" (strict
+        block-banded, gather-free shifted matmuls — requires RCM) or
+        "bcsr" (general block-sparse).
     """
     n_levels = len(pyr.mesh_laplacians)
     # rho[k][p] = tree slot stored at device position p for level k
@@ -209,8 +253,18 @@ def pack_pyramid(
         rho = rhos[k]
         L = L[rho][:, rho]
         V = L.shape[0]
-        kind = "dense" if V <= dense_threshold else "bcsr"
-        mesh_ops.append(_make_level_op(L, kind, block_size))
+        kind = "dense" if V <= dense_threshold else sparse_kind
+        if kind == "band" and ordering != "rcm":
+            kind = "bcsr"  # band layout needs the bandwidth-minimized order
+        # per-level tile size: largest MXU-friendly divisor of V so the
+        # Pallas kernels see exact tiling (e.g. V=960 -> T=64, 1088 -> 64)
+        T = block_size
+        if kind != "dense":
+            for cand in (block_size, 64, 32):
+                if V % cand == 0:
+                    T = cand
+                    break
+        mesh_ops.append(_make_level_op(L, kind, T))
 
     joint_op = _make_level_op(pyr.joint_laplacian, "dense", block_size)
 
@@ -248,7 +302,8 @@ def _flatten_for_save(art: PyramidArtifact) -> Dict[str, np.ndarray]:
         out[f"{prefix}/kind"] = np.bytes_(op.kind)
         out[f"{prefix}/num_vertices"] = np.int64(op.num_vertices)
         out[f"{prefix}/block_size"] = np.int64(op.block_size)
-        for f in ("dense", "blk_col", "blk_val", "ell_idx", "ell_w"):
+        out[f"{prefix}/band_k"] = np.int64(op.band_k)
+        for f in ("dense", "blk_col", "blk_val", "band_val", "ell_idx", "ell_w"):
             out[f"{prefix}/{f}"] = np.asarray(getattr(op, f))
     for k, op in enumerate(art.mesh_ops):
         put(f"mesh/{k}", op)
@@ -271,11 +326,13 @@ def load_artifact(path: str) -> PyramidArtifact:
             dense=jnp.asarray(z[f"{prefix}/dense"]),
             blk_col=jnp.asarray(z[f"{prefix}/blk_col"]),
             blk_val=jnp.asarray(z[f"{prefix}/blk_val"]),
+            band_val=jnp.asarray(z[f"{prefix}/band_val"]),
             ell_idx=jnp.asarray(z[f"{prefix}/ell_idx"]),
             ell_w=jnp.asarray(z[f"{prefix}/ell_w"]),
             kind=bytes(z[f"{prefix}/kind"]).decode(),
             num_vertices=int(z[f"{prefix}/num_vertices"]),
             block_size=int(z[f"{prefix}/block_size"]),
+            band_k=int(z[f"{prefix}/band_k"]),
         )
 
     return PyramidArtifact(

@@ -17,7 +17,7 @@ between levels.  TPU-native differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 
@@ -70,26 +70,46 @@ def channel_interp_matrix(fin: int, fout: int) -> np.ndarray:
 class ChebConv(nn.Module):
     """One Chebyshev graph convolution: K-term basis -> Dense -> BN -> ReLU.
 
-    Reference: lib/models/backbones/cheby_graph_conv.py:5-42.  The basis
-    layout (feature index = fin*K + k) matches the reference so converted
-    checkpoints drop in unpermuted.
+    Reference: lib/models/backbones/cheby_graph_conv.py:5-42.  The canonical
+    kernel layout (row index = fin*K + k) matches the reference so converted
+    checkpoints drop in unpermuted.  On banded TPU levels with K=3 the conv
+    runs through the fused Pallas kernel (ops.pallas_cheby); elsewhere the
+    XLA basis-stack path with identical math.
     """
 
     fout: int
     K: int = 3
     use_bn: bool = True
     use_relu: bool = True
+    dtype: Any = jnp.float32  # compute dtype (bf16 for the fast path)
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool):
-        xs = chebyshev_stack(op, x, self.K)
-        y = nn.Dense(self.fout, kernel_init=_ref_uniform_init,
-                     bias_init=nn.initializers.zeros)(xs)
+        from ..ops.pallas_cheby import fused_cheby_project, pallas_supported
+
+        x = x.astype(self.dtype)
+        fin = x.shape[-1]
+        kernel = self.param("kernel", _ref_uniform_init,
+                            (fin * self.K, self.fout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
+
+        if self.use_pallas and self.K == 3 and pallas_supported(op, x):
+            # fused kernel wants basis-major rows: [W_x; W_Lx; W_cheb2]
+            w_basis = kernel.reshape(fin, self.K, self.fout)
+            w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
+            y = fused_cheby_project(op, x, w_basis.astype(self.dtype),
+                                    bias.astype(self.dtype))
+        else:
+            xs = chebyshev_stack(op, x, self.K)
+            y = xs @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
         if self.use_bn:
             # torch BatchNorm1d over B*V rows == flax BN reducing all
-            # non-feature axes (momentum 0.9 == torch momentum 0.1)
+            # non-feature axes (momentum 0.9 == torch momentum 0.1);
+            # statistics stay in f32 regardless of compute dtype
             y = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(y)
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
         if self.use_relu:
             y = nn.relu(y)
         return y
@@ -98,10 +118,17 @@ class ChebConv(nn.Module):
 class MeshNet(nn.Module):
     """Pose features (B, J, C_in) -> mesh vertices (B, V_pad, 3) in device
     (bandwidth-optimized) vertex order; use `extract_mesh` to restore the
-    original SMPL/MANO ordering."""
+    original SMPL/MANO ordering.
+
+    Internally the mesh levels run **vertex-major** (V, B, F) — the same
+    layout the reference permutes into for its sparse matmuls
+    (cheby_graph_conv.py:18-20) — so the banded SpMM's batched matmuls get
+    their batch (row-tile) axis leading and XLA inserts no transposes."""
 
     blocks: Tuple[Tuple[int, ...], ...] = SMPL_BLOCKS
     K: int = 3
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, art: PyramidArtifact, x: jnp.ndarray, train: bool = False):
@@ -121,12 +148,16 @@ class MeshNet(nn.Module):
                 return art.mesh_ops[0]
             return art.mesh_ops[n_mesh - i]
 
+        B = x.shape[0]
+        x = jnp.swapaxes(x, 0, 1)  # (J, B, C_in): vertex-major throughout
+
         for i, chans in enumerate(self.blocks):
             op = op_for_block(i)
             input_x = x
             for li in range(len(chans) - 1):
                 last_conv = i == n_blocks - 1 and li == len(chans) - 2
-                x = ChebConv(chans[li + 1], self.K,
+                x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
+                             use_pallas=self.use_pallas,
                              use_bn=not last_conv, use_relu=not last_conv)(op, x, train)
 
             if i == 0:
@@ -134,17 +165,20 @@ class MeshNet(nn.Module):
                 # (meshnet.py:36-37,104-106)
                 v_coarse = art.mesh_ops[-1].num_vertices
                 f = self.blocks[1][0]
-                x = nn.Dense(v_coarse * f)(x.reshape(x.shape[0], -1))
-                x = x.reshape(x.shape[0], v_coarse, f)
+                flat = jnp.swapaxes(x, 0, 1).reshape(B, -1)  # (B, J*F)
+                x = nn.Dense(v_coarse * f, dtype=self.dtype)(flat)
+                x = jnp.swapaxes(x.reshape(B, v_coarse, f), 0, 1)  # (Vc, B, f)
             elif i < n_blocks - 1:
                 # channel-interpolated residual skip (meshnet.py:109-115)
-                M = jnp.asarray(channel_interp_matrix(input_x.shape[-1], x.shape[-1]))
-                x = x + input_x @ M.T
+                M = jnp.asarray(channel_interp_matrix(input_x.shape[-1], x.shape[-1]),
+                                dtype=x.dtype)
+                x = x + input_x.astype(x.dtype) @ M.T
                 if i < n_blocks - 2:
                     # x2 nearest vertex upsample via precomputed gather
                     up = art.up_idx[n_mesh - i - 1]
-                    x = jnp.take(x, up, axis=1)
-        return x
+                    x = jnp.take(x, up, axis=0)
+        # (V, B, 3) -> (B, V, 3); coordinates leave the net in f32
+        return jnp.swapaxes(x, 0, 1).astype(jnp.float32)
 
 
 def extract_mesh(art: PyramidArtifact, mesh_out: jnp.ndarray) -> jnp.ndarray:

@@ -6,7 +6,7 @@ concatenated with the 2D pose as MeshNet input.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -24,11 +24,15 @@ class Pose2Mesh(nn.Module):
     mano: bool = False
     posenet_hidden: int = 4096
     blocks: Tuple[Tuple[int, ...], ...] | None = None  # override for tests
+    dtype: Any = jnp.float32  # compute dtype; bf16 for the TPU fast path
+    use_pallas: bool = True
 
     def setup(self):
-        self.pose_lifter = PoseNet(self.num_joint, hidden=self.posenet_hidden)
+        self.pose_lifter = PoseNet(self.num_joint, hidden=self.posenet_hidden,
+                                   dtype=self.dtype)
         blocks = self.blocks or (MANO_BLOCKS if self.mano else SMPL_BLOCKS)
-        self.pose2mesh = MeshNet(blocks=blocks)
+        self.pose2mesh = MeshNet(blocks=blocks, dtype=self.dtype,
+                                 use_pallas=self.use_pallas)
 
     def __call__(
         self,

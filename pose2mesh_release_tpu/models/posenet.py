@@ -8,6 +8,8 @@ this rides the MXU in bf16 with f32 params untouched.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -17,17 +19,20 @@ __all__ = ["PoseNet"]
 class ResidualStage(nn.Module):
     hidden: int
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.hidden)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(y)
+        y = nn.Dense(self.hidden, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.hidden)(y)
+        y = nn.Dense(self.hidden, dtype=self.dtype)(y)
         return x + y
 
 
@@ -38,11 +43,12 @@ class PoseNet(nn.Module):
     hidden: int = 4096
     num_stages: int = 2
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x2d: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = x2d.reshape(x2d.shape[0], -1)
-        y = nn.Dense(self.hidden)(x)
+        x = x2d.reshape(x2d.shape[0], -1).astype(self.dtype)
+        y = nn.Dense(self.hidden, dtype=self.dtype)(x)
         for _ in range(self.num_stages):
-            y = ResidualStage(self.hidden, self.dropout)(y, train)
-        return nn.Dense(self.num_joint * 3)(y)
+            y = ResidualStage(self.hidden, self.dropout, self.dtype)(y, train)
+        return nn.Dense(self.num_joint * 3, dtype=self.dtype)(y).astype(jnp.float32)

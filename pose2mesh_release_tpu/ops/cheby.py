@@ -20,11 +20,14 @@ __all__ = ["chebyshev_stack"]
 def chebyshev_stack(
     op: LevelOperator, x: jax.Array, K: int, *, strategy: str | None = None
 ) -> jax.Array:
-    """x: (..., V, Fin) -> (..., V, Fin*K) Chebyshev basis features."""
+    """x: (V, ..., Fin) vertex-major -> (V, ..., Fin*K) basis features.
+
+    The stacked layout (feature index = fin*K + k) matches the reference's
+    view chain so converted weights drop in unpermuted."""
     xs = [x]
     if K > 1:
         xs.append(spmm(op, x, strategy=strategy))
     for _ in range(2, K):
         xs.append(2.0 * spmm(op, xs[-1], strategy=strategy) - xs[-2])
-    stacked = jnp.stack(xs, axis=-1)  # (..., V, Fin, K)
+    stacked = jnp.stack(xs, axis=-1)  # (V, ..., Fin, K)
     return stacked.reshape(x.shape[:-1] + (x.shape[-1] * K,))

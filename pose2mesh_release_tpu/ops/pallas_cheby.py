@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the banded Laplacian hop (z = L @ x).
+
+The hot op of the whole framework (SURVEY.md §6): the reference runs
+`torch.sparse.mm(L, x)` twice per Chebyshev conv
+(cheby_graph_conv.py:25-28).  The XLA banded formulation
+(`ops.spmm.spmm_band`) is correct but pays pad copies and an unfused sum
+over block diagonals.  This kernel is strictly 2-D (Mosaic-friendly):
+x is viewed as (V, C) with C = batch*features folded into lanes, the grid
+runs (column-chunks, row-tiles), and each program issues one MXU matmul
+per block diagonal:
+
+    out[t, c] = band[0, t] @ x[t-1, c] + band[1, t] @ x[t, c]
+                                       + band[2, t] @ x[t+1, c]
+
+Boundary tiles multiply an all-zero band block (guaranteed by the packing),
+so index clamping needs no masking.  The custom VJP exploits L's symmetry:
+the backward of a hop is the same hop on the cotangent.  Gradients w.r.t.
+the Laplacian blocks are not formed (the graph is a frozen artifact).
+
+The full Chebyshev conv (`fused_cheby_project`) composes two hops with the
+basis-split projection y = x@W0 + z1@W1 + z2@W2 + b — the elementwise
+2*hop(z1) - x and the bias fuse into neighbors under XLA, so only the hops
+need a kernel.  Falls back to the XLA path off-TPU-layout (band_k != 1) or
+on non-3D inputs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graphs.artifact import LevelOperator
+from .spmm import spmm, spmm_band
+
+__all__ = ["banded_hop", "fused_cheby_project", "pallas_supported"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_supported(op: LevelOperator, x: jax.Array) -> bool:
+    return op.kind == "band" and op.band_k == 1 and x.ndim == 3
+
+
+def _col_chunk(C: int, target: int = 4096) -> int:
+    """Largest divisor of C that is a multiple of 128 and <= target; falls
+    back to C itself (single chunk) when C is not 128-aligned."""
+    best = None
+    for c in range(128, min(C, target) + 1, 128):
+        if C % c == 0:
+            best = c
+    return best or C
+
+
+def _hop_kernel(band_ref, xm_ref, xc_ref, xp_ref, out_ref):
+    acc = jnp.dot(band_ref[0, 0], xm_ref[:], preferred_element_type=jnp.float32)
+    acc += jnp.dot(band_ref[1, 0], xc_ref[:], preferred_element_type=jnp.float32)
+    acc += jnp.dot(band_ref[2, 0], xp_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
+    """band_val (3, nt, T, T); x (V, B, F); returns L @ x, same shape."""
+    nt = band_val.shape[1]
+    V, B, F = x.shape
+    Vp = nt * T
+    x2 = x.reshape(V, B * F)
+    if Vp != V:
+        x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+    C = B * F
+    TC = _col_chunk(C)
+    ncc = C // TC
+
+    def xspec(shift):
+        return pl.BlockSpec(
+            (T, TC),
+            lambda c, t: (jnp.clip(t + shift, 0, nt - 1), c),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        _hop_kernel,
+        grid=(ncc, nt),
+        in_specs=[
+            pl.BlockSpec((3, 1, T, T), lambda c, t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            xspec(-1), xspec(0), xspec(1),
+        ],
+        out_specs=pl.BlockSpec((T, TC), lambda c, t: (t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, C), x.dtype),
+        interpret=_interpret(),
+    )(band_val.astype(x.dtype), x2, x2, x2)
+    return out[:V].reshape(V, B, F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hop(T: int, band_val: jax.Array, x: jax.Array) -> jax.Array:
+    return _hop_call(band_val, x, T)
+
+
+def _hop_fwd(T, band_val, x):
+    return _hop_call(band_val, x, T), (band_val,)
+
+
+def _hop_bwd(T, res, g):
+    (band_val,) = res
+    # L is symmetric: VJP of x -> Lx is g -> Lg.  No gradient to the graph.
+    return jnp.zeros_like(band_val), _hop_call(band_val, g, T)
+
+
+_hop.defvjp(_hop_fwd, _hop_bwd)
+
+
+def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
+    """z = L @ x via the Pallas banded kernel (XLA fallback if unsupported)."""
+    if not pallas_supported(op, x):
+        return spmm_band(op, x) if op.kind == "band" else spmm(op, x)
+    return _hop(op.block_size, op.band_val, x)
+
+
+def fused_cheby_project(
+    op: LevelOperator, x: jax.Array, W: jax.Array, b: jax.Array
+) -> jax.Array:
+    """K=3 Chebyshev conv: [x, Lx, 2L(Lx)-x] @ W + b.
+
+    W layout: (3*Fin, Fout) in BASIS-major blocks [W_x; W_Lx; W_cheb2] —
+    note this differs from the fin-major interleave of `chebyshev_stack`;
+    `models.meshnet.ChebConv` permutes its canonical weight accordingly.
+    The basis tensors are projected separately (no (V, B, 3F) stack is ever
+    materialized).
+    """
+    F = x.shape[-1]
+    if pallas_supported(op, x):
+        z1 = banded_hop(op, x)
+        z2 = 2.0 * banded_hop(op, z1) - x
+    else:
+        z1 = spmm(op, x)
+        z2 = 2.0 * spmm(op, z1) - x
+    y = (
+        jnp.einsum("...f,fg->...g", x, W[:F], preferred_element_type=x.dtype)
+        + jnp.einsum("...f,fg->...g", z1, W[F:2 * F], preferred_element_type=x.dtype)
+        + jnp.einsum("...f,fg->...g", z2, W[2 * F:], preferred_element_type=x.dtype)
+    )
+    return y + b

@@ -2,22 +2,24 @@
 
 The reference's hot kernel is `torch.sparse.mm(L, x)` with L the (V, V)
 rescaled Laplacian and x the (V, Fin*B) feature matrix
-(/root/reference/lib/models/backbones/cheby_graph_conv.py:25-28).  TPUs have
-no sparse unit: the MXU wants dense tiles.  We therefore provide three
+(/root/reference/lib/models/backbones/cheby_graph_conv.py:18-28 — note the
+reference itself permutes to vertex-major before the sparse matmul).  TPUs
+have no sparse unit: the MXU wants dense tiles.  We provide four
 interchangeable strategies over the layouts precomputed in
 `graphs.artifact.LevelOperator`:
 
   dense : one (V, V) @ (V, C) matmul — optimal for small levels.
-  bcsr  : per row-tile, sum of dense (T, T) @ (T, C) matmuls over the
-          nonzero column tiles (RCM ordering keeps ~3 blocks/row-tile).
-          Pure-XLA formulation here; the Pallas fused kernel lives in
-          `ops.pallas_cheby`.
-  ell   : fixed-width neighbor gather + weighted sum — verification
-          fallback, also the semantic ground truth for tests.
+  band  : strict block-banded (RCM-ordered) — a sum of 2*band_k+1 shifted
+          batched (T, T) x (T, C) MXU matmuls with NO gather at all; the
+          production path for large levels.
+  bcsr  : general block-sparse with a tile-granular gather (fallback when
+          an ordering with small bandwidth is unavailable).
+  ell   : fixed-width neighbor gather — verification ground truth.
 
-All functions take x of shape (..., V, C) and return the same shape.  L is
-symmetric, so the VJP of `spmm` is `spmm` itself on the cotangent — XLA
-differentiates the formulations below to exactly that, no custom VJP needed.
+All functions are **vertex-major**: x has shape (V, ...) and the vertex
+axis is contracted; trailing axes are flattened into columns internally.
+L is symmetric, so the VJP of `spmm` is `spmm` on the cotangent — XLA
+differentiates these formulations to exactly that.
 """
 from __future__ import annotations
 
@@ -26,47 +28,74 @@ import jax.numpy as jnp
 
 from ..graphs.artifact import LevelOperator
 
-__all__ = ["spmm", "spmm_dense", "spmm_bcsr", "spmm_ell"]
+__all__ = ["spmm", "spmm_dense", "spmm_band", "spmm_bcsr", "spmm_ell"]
 
 
 def spmm_dense(op: LevelOperator, x: jax.Array) -> jax.Array:
-    return jnp.einsum(
-        "vw,...wc->...vc", op.dense, x, preferred_element_type=x.dtype
-    )
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1)
+    y = jnp.dot(op.dense.astype(x.dtype), x2, preferred_element_type=x.dtype)
+    return y.reshape(shape)
+
+
+def spmm_band(op: LevelOperator, x: jax.Array) -> jax.Array:
+    """Gather-free banded SpMM: y[t] = sum_d band[d, t] @ x[t + d - k]."""
+    T = op.block_size
+    V = op.num_vertices
+    k = op.band_k
+    nbd, nt = op.band_val.shape[0], op.band_val.shape[1]
+    shape = x.shape
+    x2 = x.reshape(V, -1)
+    C = x2.shape[1]
+    if nt * T != V:
+        x2 = jnp.pad(x2, ((0, nt * T - V), (0, 0)))
+    xt = x2.reshape(nt, T, C)
+    xp = jnp.pad(xt, ((k, k), (0, 0), (0, 0)))
+    y = None
+    for d in range(nbd):
+        xs = jax.lax.slice_in_dim(xp, d, d + nt, axis=0)
+        term = jnp.einsum(
+            "tpq,tqc->tpc", op.band_val[d].astype(x.dtype), xs,
+            preferred_element_type=x.dtype,
+        )
+        y = term if y is None else y + term
+    y = y.reshape(nt * T, C)
+    if nt * T != V:
+        y = y[:V]
+    return y.reshape(shape)
 
 
 def spmm_bcsr(op: LevelOperator, x: jax.Array) -> jax.Array:
-    """Block-sparse row SpMM as a batched dense matmul.
-
-    x: (..., V, C).  Gathers the (max_blocks) column tiles each row tile
-    needs — a coarse-grained (tile-sized) gather that XLA lowers to
-    efficient dynamic slices — then contracts on the MXU.
-    """
+    """Block-sparse-row SpMM with a tile-granular gather."""
     T = op.block_size
     V = op.num_vertices
     nt, maxb = op.blk_col.shape
-    batch_shape = x.shape[:-2]
-    C = x.shape[-1]
-    if nt * T != V:  # level size not tile-aligned: zero-pad the vertex axis
-        pad = [(0, 0)] * (x.ndim - 2) + [(0, nt * T - V), (0, 0)]
-        x = jnp.pad(x, pad)
-    xt = x.reshape(batch_shape + (nt, T, C))
-    # (..., nt, maxb, T, C): tiles of x needed by each row tile
-    gathered = jnp.take(xt, op.blk_col.reshape(-1), axis=-3)
-    gathered = gathered.reshape(batch_shape + (nt, maxb, T, C))
+    shape = x.shape
+    x2 = x.reshape(V, -1)
+    C = x2.shape[1]
+    if nt * T != V:
+        x2 = jnp.pad(x2, ((0, nt * T - V), (0, 0)))
+    xt = x2.reshape(nt, T, C)
+    gathered = jnp.take(xt, op.blk_col.reshape(-1), axis=0)
+    gathered = gathered.reshape(nt, maxb, T, C)
     y = jnp.einsum(
-        "nbpq,...nbqc->...npc", op.blk_val, gathered,
+        "nbpq,nbqc->npc", op.blk_val.astype(x.dtype), gathered,
         preferred_element_type=x.dtype,
     )
-    y = y.reshape(batch_shape + (nt * T, C))
-    return y[..., :V, :] if nt * T != V else y
+    y = y.reshape(nt * T, C)
+    if nt * T != V:
+        y = y[:V]
+    return y.reshape(shape)
 
 
 def spmm_ell(op: LevelOperator, x: jax.Array) -> jax.Array:
-    """ELLPACK gather-based SpMM: y[v] = sum_d w[v, d] * x[idx[v, d]]."""
-    nbrs = jnp.take(x, op.ell_idx.reshape(-1), axis=-2)
-    nbrs = nbrs.reshape(x.shape[:-2] + op.ell_idx.shape + (x.shape[-1],))
-    return jnp.einsum("...vdc,vd->...vc", nbrs, op.ell_w)
+    """ELLPACK gather SpMM: y[v] = sum_d w[v, d] * x[idx[v, d]]."""
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1)
+    nbrs = jnp.take(x2, op.ell_idx.reshape(-1), axis=0)
+    nbrs = nbrs.reshape(op.ell_idx.shape + (x2.shape[1],))
+    y = jnp.einsum("vdc,vd->vc", nbrs, op.ell_w.astype(x.dtype))
+    return y.reshape(shape)
 
 
 def spmm(op: LevelOperator, x: jax.Array, *, strategy: str | None = None) -> jax.Array:
@@ -74,6 +103,8 @@ def spmm(op: LevelOperator, x: jax.Array, *, strategy: str | None = None) -> jax
     kind = strategy or op.kind
     if kind == "dense":
         return spmm_dense(op, x)
+    if kind == "band":
+        return spmm_band(op, x)
     if kind == "bcsr":
         return spmm_bcsr(op, x)
     if kind == "ell":

@@ -39,9 +39,24 @@ def _level_sharding(mesh: Mesh, op: LevelOperator) -> LevelOperator:
             dense=put(op.dense, rep),
             blk_col=put(op.blk_col, graph_rows),
             blk_val=put(op.blk_val, graph_rows),
+            band_val=put(op.band_val, rep),
             ell_idx=put(op.ell_idx, rep),
             ell_w=put(op.ell_w, rep),
-            kind=op.kind, num_vertices=op.num_vertices, block_size=op.block_size,
+            kind=op.kind, num_vertices=op.num_vertices,
+            block_size=op.block_size, band_k=op.band_k,
+        )
+    if op.kind == "band" and op.band_val.ndim == 4 and op.band_val.shape[1] % n_graph == 0:
+        # band_val: (nbd, nt, T, T) -> shard the row-tile dim over 'graph'
+        graph_tiles = NamedSharding(mesh, P(None, "graph"))
+        return LevelOperator(
+            dense=put(op.dense, rep),
+            blk_col=put(op.blk_col, rep),
+            blk_val=put(op.blk_val, rep),
+            band_val=put(op.band_val, graph_tiles),
+            ell_idx=put(op.ell_idx, rep),
+            ell_w=put(op.ell_w, rep),
+            kind=op.kind, num_vertices=op.num_vertices,
+            block_size=op.block_size, band_k=op.band_k,
         )
     return jax.tree.map(lambda x: put(x, rep), op)
 

@@ -139,17 +139,32 @@ def test_build_pyramid_structure(pyramid):
 
 
 def test_artifact_strategies_agree(pyramid):
-    art = pack_pyramid(pyramid, ordering="rcm", block_size=128, dense_threshold=256)
-    rng = np.random.default_rng(0)
-    for op, L in zip(art.mesh_ops, pyramid.mesh_laplacians):
-        V = op.num_vertices
-        x = jnp.asarray(rng.standard_normal((2, V, 3)).astype(np.float32))
-        y_ell = spmm_ell(op, x)
-        if op.kind == "dense":
-            y = spmm_dense(op, x)
-        else:
-            y = spmm_bcsr(op, x)
-        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ell), atol=1e-4)
+    from pose2mesh_release_tpu.ops.spmm import spmm_band
+
+    for kind in ("bcsr", "band"):
+        art = pack_pyramid(pyramid, ordering="rcm", block_size=128,
+                           dense_threshold=256, sparse_kind=kind)
+        rng = np.random.default_rng(0)
+        for op in art.mesh_ops:
+            V = op.num_vertices
+            x = jnp.asarray(rng.standard_normal((V, 2, 3)).astype(np.float32))
+            y_ell = spmm_ell(op, x)
+            if op.kind == "dense":
+                y = spmm_dense(op, x)
+            elif op.kind == "band":
+                y = spmm_band(op, x)
+            else:
+                y = spmm_bcsr(op, x)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ell), atol=1e-4)
+
+
+def test_band_is_narrow(pyramid):
+    """RCM must give a narrow band (the whole point of the reordering)."""
+    art = pack_pyramid(pyramid, ordering="rcm", dense_threshold=256,
+                       sparse_kind="band")
+    for op in art.mesh_ops:
+        if op.kind == "band":
+            assert op.band_k <= 1, (op.num_vertices, op.band_k)
 
 
 def test_artifact_matches_scipy(pyramid):
@@ -162,8 +177,6 @@ def test_artifact_matches_scipy(pyramid):
     V = op0.num_vertices
     x = rng.standard_normal((V, 4)).astype(np.float32)
     y_dev = np.asarray(spmm_ell(op0, jnp.asarray(x)))
-    # Build the scipy result in device order: find permutation via ell
-    # identity check instead — multiply by L directly using artifact's ell.
     idx, w = np.asarray(op0.ell_idx), np.asarray(op0.ell_w)
     y_np = (x[idx] * w[..., None]).sum(axis=1)
     np.testing.assert_allclose(y_dev, y_np, atol=1e-5)

@@ -44,16 +44,16 @@ def test_channel_interp_matrix_against_torch():
 
 def test_chebyshev_stack_layout(art):
     """Feature layout must be fin-major (index = fin*K + k), matching the
-    reference's view chain (cheby_graph_conv.py:31-35)."""
+    reference's view chain (cheby_graph_conv.py:31-35).  Vertex-major."""
     op = art.joint_op
-    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, J, 3)).astype(np.float32))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((J, 2, 3)).astype(np.float32))
     K = 3
     s = chebyshev_stack(op, x, K)
-    assert s.shape == (2, J, 9)
+    assert s.shape == (J, 2, 9)
     L = np.asarray(op.dense)
     x0 = np.asarray(x)
-    x1 = np.einsum("vw,bwc->bvc", L, x0)
-    x2 = 2 * np.einsum("vw,bwc->bvc", L, x1) - x0
+    x1 = np.einsum("vw,wbc->vbc", L, x0)
+    x2 = 2 * np.einsum("vw,wbc->vbc", L, x1) - x0
     for fin in range(3):
         np.testing.assert_allclose(np.asarray(s[..., fin * K + 0]), x0[..., fin], atol=1e-5)
         np.testing.assert_allclose(np.asarray(s[..., fin * K + 1]), x1[..., fin], atol=1e-4)

@@ -1,0 +1,97 @@
+"""Pallas kernel tests (interpreter mode on CPU): banded hop and the fused
+Chebyshev conv must match the XLA reference path in values AND gradients."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pose2mesh_release_tpu.body.synthetic import uv_sphere
+from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+from pose2mesh_release_tpu.graphs.build import build_pyramid
+from pose2mesh_release_tpu.ops.cheby import chebyshev_stack
+from pose2mesh_release_tpu.ops.pallas_cheby import (
+    banded_hop,
+    fused_cheby_project,
+    pallas_supported,
+)
+from pose2mesh_release_tpu.ops.spmm import spmm_band
+
+
+@pytest.fixture(scope="module")
+def band_op():
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=7, skeleton=[(0, 1), (1, 2)], levels=4)
+    art = pack_pyramid(pyr, dense_threshold=128, sparse_kind="band")
+    # pick a band level with exact tiling
+    for op in art.mesh_ops:
+        if op.kind == "band" and pallas_supported(
+            op, jnp.zeros((op.num_vertices, 2, 8))
+        ):
+            return op
+    pytest.skip("no pallas-supported band level in test pyramid")
+
+
+def test_banded_hop_matches_xla(band_op):
+    V = band_op.num_vertices
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((V, 4, 8)).astype(np.float32))
+    y_pallas = banded_hop(band_op, x)
+    y_xla = spmm_band(band_op, x)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_xla), atol=1e-4)
+
+
+def test_banded_hop_gradient(band_op):
+    V = band_op.num_vertices
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((V, 2, 8)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((V, 2, 8)).astype(np.float32))
+
+    def f_pallas(x):
+        return (banded_hop(band_op, x) * g).sum()
+
+    def f_xla(x):
+        return (spmm_band(band_op, x) * g).sum()
+
+    gp = jax.grad(f_pallas)(x)
+    gx = jax.grad(f_xla)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+
+
+def test_fused_cheby_matches_stack(band_op):
+    V = band_op.num_vertices
+    F, Fout = 8, 16
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    # canonical fin-major kernel, permute to basis-major for the fused op
+    Wc = jnp.asarray(rng.standard_normal((F * 3, Fout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32))
+    Wb = Wc.reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
+
+    y_ref = chebyshev_stack(band_op, x, 3) @ Wc + b
+    y_fused = fused_cheby_project(band_op, x, Wb, b)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=1e-3)
+
+
+def test_fused_cheby_gradients(band_op):
+    V = band_op.num_vertices
+    F, Fout = 8, 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    Wb = jnp.asarray(rng.standard_normal((3 * F, Fout)).astype(np.float32) * 0.1)
+    b = jnp.zeros((Fout,), jnp.float32)
+    Wc = Wb.reshape(3, F, Fout).transpose(1, 0, 2).reshape(F * 3, Fout)
+
+    def f_fused(x, Wb, b):
+        return (fused_cheby_project(band_op, x, Wb, b) ** 2).sum()
+
+    def f_ref(x, Wc, b):
+        return ((chebyshev_stack(band_op, x, 3) @ Wc + b) ** 2).sum()
+
+    gx_f, gW_f, gb_f = jax.grad(f_fused, argnums=(0, 1, 2))(x, Wb, b)
+    gx_r, gW_r, gb_r = jax.grad(f_ref, argnums=(0, 1, 2))(x, Wc, b)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=2e-4, atol=2e-3)
+    # permute reference weight grad to basis-major before comparing
+    gW_r_basis = np.asarray(gW_r).reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
+    np.testing.assert_allclose(np.asarray(gW_f), gW_r_basis, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r), rtol=2e-4, atol=2e-3)
