@@ -79,6 +79,8 @@ class SMPL:
         self.joint_regressor = np.concatenate([base_reg, onehots]).astype(np.float32)
 
         self.joint_regressor_h36m = self._load_npy("Human36M/J_regressor_h36m_correct.npy", 17)
+        # engine-contract alias (datasets say 'human36', SURVEY.md §2.2)
+        self.joint_regressor_human36 = self.joint_regressor_h36m
         self.joint_regressor_coco = self._load_npy("COCO/J_regressor_coco.npy", 17)
         # 'smpl' target set uses the base 24-joint regressor
         self.joint_regressor_smpl = base_reg

@@ -123,6 +123,153 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
     return _hop(op.block_size, op.band_val, x)
 
 
+# ---------------------------------------------------------------------------
+# fully fused conv kernel: two hops + basis projection in one pass
+# ---------------------------------------------------------------------------
+#
+# Per (column-chunk, row-tile) program, with a 5-tile halo window of x and 3
+# band rows, everything stays in VMEM:
+#   z1_{t+o} = sum_d band[d, t+o] @ x[t+o+d-1]      (o = -1, 0, 1)
+#   z2_t     = 2 * sum_d band[d, t] @ z1_{t+d-1} - x_t
+#   y_t      = x_t @ W0 + z1_t @ W1 + z2_t @ W2 + b
+# The recomputation of neighbor z1 tiles (3x hop-1 FLOPs) buys removal of
+# all intermediate HBM traffic: x is read 5x and y written once per conv,
+# vs ~15 tensor movements for the unfused composition.  Boundary tiles
+# multiply all-zero band blocks, so index clamping is safe.
+#
+# The in-kernel projection reshapes (T, BC*F) <-> (T*BC, F); Mosaic supports
+# these only when F and Fout are lane-aligned (multiples of 128), so other
+# channel shapes take the two-hop + XLA-projection path.
+
+def _fused_kernel_factory(T, BC, F, Fout):
+    def kernel(bm_ref, bc_ref, bp_ref,
+               xm2_ref, xm1_ref, xc_ref, xp1_ref, xp2_ref,
+               w_ref, bias_ref, out_ref):
+        xs = [xm2_ref[:], xm1_ref[:], xc_ref[:], xp1_ref[:], xp2_ref[:]]
+
+        def hop(band_ref, base):
+            acc = jnp.dot(band_ref[0, 0], xs[base],
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(band_ref[1, 0], xs[base + 1],
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(band_ref[2, 0], xs[base + 2],
+                           preferred_element_type=jnp.float32)
+            return acc
+
+        dt = out_ref.dtype
+        z1m = hop(bm_ref, 0).astype(dt)
+        z1c = hop(bc_ref, 1).astype(dt)
+        z1p = hop(bp_ref, 2).astype(dt)
+        z2 = (
+            2.0 * (jnp.dot(bc_ref[0, 0], z1m, preferred_element_type=jnp.float32)
+                   + jnp.dot(bc_ref[1, 0], z1c, preferred_element_type=jnp.float32)
+                   + jnp.dot(bc_ref[2, 0], z1p, preferred_element_type=jnp.float32))
+            - xs[2].astype(jnp.float32)
+        ).astype(dt)
+
+        def proj(z, k):
+            z = z.reshape(T, BC, F).reshape(T * BC, F)
+            return jnp.dot(z, w_ref[k * F:(k + 1) * F, :],
+                           preferred_element_type=jnp.float32)
+
+        acc = proj(xs[2], 0) + proj(z1c, 1) + proj(z2, 2)
+        acc += bias_ref[0][None, :].astype(jnp.float32)
+        out_ref[:] = acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
+
+    return kernel
+
+
+def _fused_call(band_val, x, W, b, T):
+    nt = band_val.shape[1]
+    V, B, F = x.shape
+    Fout = W.shape[1]
+    Vp = nt * T
+    # batch chunk: 5 halo x-tiles + 3 f32 hop intermediates must fit the
+    # scoped-VMEM stack; ~2048 lanes keeps the live set ~10 MB at T=128
+    BC = 1
+    for c in range(1, B + 1):
+        if B % c == 0 and c * max(F, Fout) <= 2048:
+            BC = c
+    ncc = B // BC
+    x2 = x.reshape(V, B * F)
+    if Vp != V:
+        x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+
+    def bspec(shift):
+        return pl.BlockSpec((3, 1, T, T),
+                            lambda c, t: (0, jnp.clip(t + shift, 0, nt - 1), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def xspec(shift):
+        return pl.BlockSpec((T, BC * F),
+                            lambda c, t: (jnp.clip(t + shift, 0, nt - 1), c),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _fused_kernel_factory(T, BC, F, Fout),
+        grid=(ncc, nt),
+        in_specs=[
+            bspec(-1), bspec(0), bspec(1),
+            xspec(-2), xspec(-1), xspec(0), xspec(1), xspec(2),
+            pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, BC * Fout), lambda c, t: (t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(band_val.astype(x.dtype), band_val.astype(x.dtype), band_val.astype(x.dtype),
+      x2, x2, x2, x2, x2,
+      W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype))
+    return out[:V].reshape(V, B, Fout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(T, band_val, x, W, b):
+    return _fused_call(band_val, x, W, b, T)
+
+
+def _fused_fwd(T, band_val, x, W, b):
+    return _fused_call(band_val, x, W, b, T), (band_val, x, W)
+
+
+def _fused_bwd(T, res, g):
+    band_val, x, W = res
+    V, B, F = x.shape
+    Fout = W.shape[1]
+    W0, W1, W2 = W[:F], W[F:2 * F], W[2 * F:]
+
+    # recompute the basis (cheaper than saving it; hops reuse the kernel)
+    z1 = _hop_call(band_val, x, T)
+    z2 = 2.0 * _hop_call(band_val, z1, T) - x
+
+    g2 = g.reshape(-1, Fout)
+
+    def dW(z):
+        return jnp.dot(z.reshape(-1, F).T.astype(jnp.float32),
+                       g2.astype(jnp.float32))
+
+    dW_full = jnp.concatenate([dW(x), dW(z1), dW(z2)], axis=0).astype(W.dtype)
+    db = g2.astype(jnp.float32).sum(axis=0).astype(W.dtype)
+
+    gz2 = (g2 @ W2.T).reshape(V, B, F)
+    gz1 = (g2 @ W1.T).reshape(V, B, F) + 2.0 * _hop_call(band_val, gz2, T)
+    gx = (g2 @ W0.T).reshape(V, B, F) - gz2 + _hop_call(band_val, gz1, T)
+    return jnp.zeros_like(band_val), gx.astype(x.dtype), dW_full, db
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _lane_aligned(F: int, Fout: int) -> bool:
+    return F % 128 == 0 and Fout % 128 == 0
+
+
 def fused_cheby_project(
     op: LevelOperator, x: jax.Array, W: jax.Array, b: jax.Array
 ) -> jax.Array:
@@ -131,10 +278,14 @@ def fused_cheby_project(
     W layout: (3*Fin, Fout) in BASIS-major blocks [W_x; W_Lx; W_cheb2] —
     note this differs from the fin-major interleave of `chebyshev_stack`;
     `models.meshnet.ChebConv` permutes its canonical weight accordingly.
-    The basis tensors are projected separately (no (V, B, 3F) stack is ever
-    materialized).
+    Fully fused single kernel when channel counts are lane-aligned;
+    otherwise two hop kernels + XLA projections (no (V, B, 3F) stack is
+    ever materialized either way).
     """
     F = x.shape[-1]
+    Fout = W.shape[1]
+    if pallas_supported(op, x) and _lane_aligned(F, Fout):
+        return _fused(op.block_size, op.band_val, x, W, b)
     if pallas_supported(op, x):
         z1 = banded_hop(op, x)
         z2 = 2.0 * banded_hop(op, z1) - x

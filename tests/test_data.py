@@ -1,0 +1,417 @@
+"""Dataset layer tests on synthetic annotation fixtures.
+
+The fixtures write tiny Human3.6M-format annotation files (same JSON
+layout as the real ones, data/Human36M/dataset.py:160-186) so the loader
+parses the actual format without the real data.
+"""
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from pose2mesh_release_tpu.body.smpl import SMPL
+from pose2mesh_release_tpu.data.human36m import Human36M
+from pose2mesh_release_tpu.data.loader import BatchLoader, stack_samples
+from pose2mesh_release_tpu.data.mixer import MultipleDatasets
+
+N_SAMPLES = 6
+
+
+@pytest.fixture(scope="module")
+def smpl():
+    return SMPL()
+
+
+@pytest.fixture(scope="module")
+def h36m_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("h36m")
+    annot = root / "annotations"
+    annot.mkdir()
+    rng = np.random.default_rng(0)
+
+    for subject in (1, 9, 11):
+        images, annotations = [], []
+        joints = {"2": {"1": {}}}
+        smpl_params = {"2": {"1": {}}}
+        for i in range(N_SAMPLES):
+            frame = i * 5  # every frame % 5 == 0 (train sampling ratio)
+            name = f"s_{subject:02d}_act_02_subact_01_ca_01_{frame:06d}.jpg"
+            images.append({
+                "id": i, "file_name": name, "width": 1000, "height": 1000,
+                "subject": subject, "action_idx": 2, "subaction_idx": 1,
+                "frame_idx": frame, "cam_idx": 1,
+            })
+            annotations.append({
+                "id": i, "image_id": i,
+                "bbox": [300.0, 300.0, 400.0, 400.0],
+            })
+            # world joints (mm) roughly in front of the camera
+            joints["2"]["1"][str(frame)] = (
+                rng.standard_normal((17, 3)) * 200 + [0, 0, 0]
+            ).tolist()
+            smpl_params["2"]["1"][str(frame)] = {
+                "pose": (rng.standard_normal(72) * 0.1).tolist(),
+                "shape": (rng.standard_normal(10) * 0.5).tolist(),
+                "trans": [0.0, 0.0, 0.0],
+            }
+        base = annot / f"Human36M_subject{subject}"
+        with open(f"{base}_data.json", "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+        with open(f"{base}_camera.json", "w") as f:
+            json.dump({"1": {
+                "R": np.eye(3).tolist(),
+                "t": [0.0, 0.0, 5000.0],
+                "f": [1500.0, 1500.0], "c": [500.0, 500.0],
+            }}, f)
+        with open(f"{base}_joint_3d.json", "w") as f:
+            json.dump(joints, f)
+        with open(f"{base}_smpl_param.json", "w") as f:
+            json.dump(smpl_params, f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def h36m_train(h36m_root, smpl):
+    return Human36M(
+        "train", data_dir=h36m_root, mesh_model=smpl, debug=True,
+        build_graph=False, input_joint_name="human36",
+    )
+
+
+def test_h36m_loads_and_synthesizes(h36m_train):
+    ds = h36m_train
+    assert len(ds) == N_SAMPLES
+    assert ds.gt_mesh.shape == (N_SAMPLES, 6890, 3)
+    assert ds.gt_reg3d.shape == (N_SAMPLES, 17, 3)
+    assert ds.fit_error.shape == (N_SAMPLES,)
+    # GT is root-relative: h36m root at origin
+    np.testing.assert_allclose(ds.gt_reg3d[:, 0], 0.0, atol=1e-4)
+
+
+def test_h36m_getitem_contract(h36m_train):
+    inputs, targets, meta = h36m_train[0]
+    assert inputs["pose2d"].shape == (17, 2)
+    assert targets["mesh"].shape == (6890, 3)
+    assert targets["lift_pose3d"].shape == (17, 3)
+    assert targets["reg_pose3d"].shape == (17, 3)
+    assert meta["mesh_valid"].shape == (6890, 1)
+    # standardized input: zero mean, unit std per sample
+    np.testing.assert_allclose(inputs["pose2d"].mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(inputs["pose2d"].std(0), 1.0, atol=1e-3)
+
+
+def test_h36m_coco_input(h36m_root, smpl):
+    ds = Human36M(
+        "train", data_dir=h36m_root, mesh_model=smpl, debug=True,
+        build_graph=False, input_joint_name="coco",
+    )
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)  # 17 coco + pelvis + neck
+    assert targets["lift_pose3d"].shape == (19, 3)
+    # coco joint_cam is pelvis-relative (index -2)
+    assert abs(ds.datalist[0]["joint_cam"][-2]).max() < 1e-3
+
+
+def test_h36m_noise_input_path(h36m_root, smpl):
+    ds = Human36M(
+        "train", data_dir=h36m_root, mesh_model=smpl, debug=True,
+        build_graph=False, input_joint_name="coco", use_gt_input=False,
+    )
+    inputs, _, _ = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+    assert np.isfinite(inputs["pose2d"]).all()
+
+
+def test_h36m_test_split_eval(h36m_root, smpl):
+    ds = Human36M(
+        "test", data_dir=h36m_root, mesh_model=smpl, debug=False,
+        build_graph=False, input_joint_name="human36", protocol=2,
+    )
+    n = len(ds)
+    assert n > 0
+    # predictions = GT + small noise -> small errors
+    rng = np.random.default_rng(1)
+    pred = ds.gt_mesh + rng.standard_normal(ds.gt_mesh.shape) * 1.0
+    res = ds.evaluate({"mesh_coord": pred, "mesh_coord_target": ds.gt_mesh})
+    assert res["mpjpe"] < 5.0
+    assert res["pa_mpjpe"] <= res["mpjpe"] + 1e-6
+    assert res["mpvpe"] < 5.0
+    assert any(k.startswith("mpjpe_") for k in res)
+
+    both = ds.compute_both_err(
+        pred[:4], ds.gt_mesh[:4],
+        np.einsum("jv,nvc->njc", ds.target_regressor(), pred[:4]),
+        np.einsum("jv,nvc->njc", ds.target_regressor(), ds.gt_mesh[:4]),
+    )
+    assert both[0] < 5 and both[1] < 5
+
+
+def test_posenet_mode(h36m_root, smpl):
+    ds = Human36M(
+        "train", data_dir=h36m_root, mesh_model=smpl, debug=True,
+        build_graph=False, model_name="posenet",
+    )
+    joint_img, joint_cam, valid = ds[0]
+    assert joint_img.shape == (17, 2)
+    assert joint_cam.shape == (17, 3)
+    assert valid.shape == (17, 1)
+
+
+def test_mixer_uniform(h36m_train):
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            return self.tag
+
+    mixed = MultipleDatasets([Fake(4, "a"), Fake(10, "b")], make_same_len=True)
+    assert len(mixed) == 20
+    tags = [mixed[i] for i in range(20)]
+    assert tags.count("a") == 10 and tags.count("b") == 10
+
+
+def test_batch_loader(h36m_train):
+    loader = BatchLoader(h36m_train, batch_size=2, shuffle=True,
+                         drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(h36m_train) // 2
+    inputs, targets, meta = batches[0]
+    assert inputs["pose2d"].shape == (2, 17, 2)
+    assert targets["mesh"].shape == (2, 6890, 3)
+    assert meta["mesh_valid"].shape == (2, 6890, 1)
+
+
+def test_loader_host_sharding(h36m_train):
+    l0 = BatchLoader(h36m_train, batch_size=1, host_id=0, host_count=2, seed=3)
+    l1 = BatchLoader(h36m_train, batch_size=1, host_id=1, host_count=2, seed=3)
+    i0 = l0._epoch_indices()
+    i1 = l1._epoch_indices()
+    assert len(set(i0) & set(i1)) == 0
+    assert len(i0) == len(i1) == len(h36m_train) // 2
+
+
+# --- 3DPW ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pw3d_root(tmp_path_factory, smpl):
+    import pose2mesh_release_tpu.data.gt_synth as gts
+    root = tmp_path_factory.mktemp("pw3d")
+    rng = np.random.default_rng(2)
+    images, annotations = [], []
+    for i in range(4):
+        images.append({
+            "id": i, "file_name": f"image_{i:05d}.jpg", "width": 1920,
+            "height": 1080, "sequence": "courtyard_demo_00",
+            "cam_param": {"focal": [1960.0, 1969.0], "princpt": [960.0, 540.0]},
+        })
+        annotations.append({
+            "id": i, "image_id": i, "person_id": 0,
+            "bbox": [700.0, 200.0, 400.0, 700.0],
+            "smpl_param": {
+                "pose": (rng.standard_normal(72) * 0.1).tolist(),
+                "shape": (rng.standard_normal(10) * 0.3).tolist(),
+                "trans": [0.0, 0.0, 4.0],
+                "gender": "female" if i % 2 else "male",
+            },
+            "openpose_result": (rng.random((18, 3)) * 100).flatten().tolist(),
+        })
+    with open(root / "3DPW_latest_test.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    det = [{"annotation_id": i,
+            "keypoints": (rng.random((17, 3)) * 500).tolist()} for i in range(4)]
+    with open(root / "darkpose_3dpw_testset_output.json", "w") as f:
+        json.dump(det, f)
+    return str(root)
+
+
+def test_pw3d_loads(pw3d_root, smpl):
+    from pose2mesh_release_tpu.data.pw3d import PW3D
+    ds = PW3D("test", data_dir=pw3d_root, mesh_model=smpl, build_graph=False)
+    assert len(ds) == 4
+    assert ds.gt_mesh.shape == (4, 6890, 3)
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+    assert targets["mesh"].shape == (6890, 3)
+    assert len(ds.video_indices) == 1
+
+    pred = ds.gt_mesh + np.random.default_rng(3).standard_normal(ds.gt_mesh.shape)
+    res = ds.evaluate({"mesh_coord": pred, "mesh_coord_target": ds.gt_mesh},
+                      smooth=True)
+    assert res["mpjpe"] < 5.0 and res["mpvpe"] < 5.0
+    assert "accel_error" in res
+
+
+def test_pw3d_det_input(pw3d_root, smpl):
+    from pose2mesh_release_tpu.data.pw3d import PW3D
+    ds = PW3D("test", data_dir=pw3d_root, mesh_model=smpl,
+              build_graph=False, use_gt_input=False)
+    inputs, _, _ = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+
+
+# --- SURREAL / COCO / MuCo / AMASS / FreiHAND ---------------------------
+
+def test_surreal(tmp_path, smpl):
+    from pose2mesh_release_tpu.data.surreal import SURREAL
+    rng = np.random.default_rng(4)
+    (tmp_path / "data").mkdir()
+    images, annotations = [], []
+    for i in range(3):
+        images.append({
+            "id": i, "file_name": f"{i}.jpg", "width": 320, "height": 240,
+            "cam_param": {"focal": [600.0, 600.0], "princpt": [160.0, 120.0]},
+        })
+        annotations.append({
+            "id": i, "image_id": i, "bbox": [50.0, 30.0, 180.0, 180.0],
+            "joint_cam": (rng.standard_normal((24, 3)) * 100).tolist(),
+            "smpl_param": {
+                "pose": (rng.standard_normal(72) * 0.1).tolist(),
+                "shape": (rng.standard_normal(10) * 0.3).tolist(),
+                "trans": [0.0, 0.0, 3.0], "gender": "male",
+            },
+        })
+    with open(tmp_path / "data" / "test.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    ds = SURREAL("test", data_dir=str(tmp_path), mesh_model=smpl,
+                 build_graph=False)
+    assert len(ds) == 3
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (24, 2)
+    res = ds.evaluate({"mesh_coord": ds.gt_mesh.copy(),
+                       "mesh_coord_target": ds.gt_mesh})
+    assert res["mpjpe"] < 1e-3
+
+
+def test_coco_dataset(tmp_path, smpl):
+    from pose2mesh_release_tpu.data.coco import COCO as CocoDS
+    rng = np.random.default_rng(5)
+    annot = tmp_path / "annotations"
+    annot.mkdir()
+    images, annotations, smplify = [], [], {}
+    for i in range(3):
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "width": 640, "height": 480})
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, :2] = rng.random((17, 2)) * 300 + 100
+        kp[:, 2] = 2
+        annotations.append({
+            "id": i, "image_id": i, "iscrowd": 0, "num_keypoints": 17,
+            "bbox": [100.0, 100.0, 300.0, 300.0],
+            "keypoints": kp.flatten().tolist(),
+        })
+        smplify[str(i)] = {
+            "smpl_param": {"pose": (rng.standard_normal(72) * 0.1).tolist(),
+                           "shape": (rng.standard_normal(10) * 0.3).tolist()},
+            "cam_param": {"s": [150.0], "t": [250.0, 250.0]},
+        }
+    with open(annot / "person_keypoints_train2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    with open(annot / "coco_smplify_train.json", "w") as f:
+        json.dump(smplify, f)
+    ds = CocoDS("train", data_dir=str(tmp_path), mesh_model=smpl,
+                build_graph=False)
+    assert len(ds) == 3
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+    # random keypoints won't match the SMPLify reprojection -> invalid
+    assert ds.fit_error is not None and np.isfinite(ds.fit_error).all()
+
+
+def test_muco(tmp_path, smpl):
+    from pose2mesh_release_tpu.data.muco import MuCo, MUCO_JOINTS_NAME
+    rng = np.random.default_rng(6)
+    (tmp_path / "data").mkdir()
+    images, annotations, smpl_params = [], [], {}
+    aid = 0
+    for i in range(2):
+        images.append({"id": i, "file_name": f"{i}.jpg", "width": 2048,
+                       "height": 2048, "f": [1500.0, 1500.0],
+                       "c": [1024.0, 1024.0]})
+        for p in range(2):  # two people; only closest kept
+            kp_cam = rng.standard_normal((21, 3)) * 200
+            kp_cam[:, 2] += 3000 + p * 1000
+            annotations.append({
+                "id": aid, "image_id": i,
+                "keypoints_cam": kp_cam.tolist(),
+                "keypoints_img": (rng.random((21, 2)) * 2000).tolist(),
+                "bbox": [500.0, 500.0, 800.0, 800.0],
+            })
+            smpl_params[str(aid)] = {
+                "pose": (rng.standard_normal(72) * 0.1).tolist(),
+                "shape": (rng.standard_normal(10) * 0.3).tolist(),
+                "trans": [0.0, 0.0, 3.0],
+            }
+            aid += 1
+    with open(tmp_path / "data" / "MuCo-3DHP.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    with open(tmp_path / "data" / "smpl_param.json", "w") as f:
+        json.dump(smpl_params, f)
+    ds = MuCo("train", data_dir=str(tmp_path), mesh_model=smpl,
+              build_graph=False)
+    assert len(ds) == 2  # one (closest) person per image
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+    assert ds.fit_error.shape == (2,)
+
+
+def test_amass(tmp_path, smpl):
+    from pose2mesh_release_tpu.data.amass import AMASS
+    rng = np.random.default_rng(7)
+    seq = tmp_path / "CMU" / "01"
+    seq.mkdir(parents=True)
+    np.savez(seq / "01_01_poses.npz",
+             poses=rng.standard_normal((121, 156)) * 0.1,
+             betas=rng.standard_normal(16) * 0.3,
+             trans=rng.standard_normal((121, 3)),
+             dmpls=np.zeros((121, 8)), gender="male")
+    ds = AMASS("train", data_dir=str(tmp_path), mesh_model=smpl,
+               build_graph=False)
+    # 121 frames, ratio 60 -> frames {0, 60, 120} x 4 cameras
+    assert len(ds) == 12
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)
+    assert targets["mesh"].shape == (6890, 3)
+
+
+def test_freihand(tmp_path):
+    from pose2mesh_release_tpu.body.mano import MANO
+    from pose2mesh_release_tpu.data.freihand import FreiHAND
+    rng = np.random.default_rng(8)
+    mano = MANO()
+    images, annotations, data = [], [], {}
+    for i in range(3):
+        images.append({"id": i, "file_name": f"rgb/{i:08d}.jpg",
+                       "width": 224, "height": 224, "db_idx": i})
+        annotations.append({"id": i, "image_id": i,
+                            "bbox": [40.0, 40.0, 150.0, 150.0]})
+        data[str(i)] = {
+            "cam_param": {"focal": [500.0, 500.0], "princpt": [112.0, 112.0],
+                          "R": np.eye(3).tolist(), "t": [0.0, 0.0, 0.5]},
+            "mano_param": {"pose": (rng.standard_normal(48) * 0.1).tolist(),
+                           "shape": (rng.standard_normal(10) * 0.3).tolist()},
+            "joint_3d": (rng.standard_normal((21, 3)) * 50).tolist(),
+        }
+    with open(tmp_path / "freihand_train_coco.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    with open(tmp_path / "freihand_train_data.json", "w") as f:
+        json.dump(data, f)
+    ds = FreiHAND("train", data_dir=str(tmp_path), mesh_model=mano,
+                  build_graph=False, output_dir=str(tmp_path / "out"))
+    assert len(ds) == 3
+    assert ds.gt_mesh.shape == (3, 778, 3)
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (21, 2)
+    assert targets["mesh"].shape == (778, 3)
+
+    res = ds.evaluate({"mesh_coord": ds.gt_mesh})
+    assert osp.exists(tmp_path / "out" / "pred.json")
+
+
+def test_dataset_registry():
+    from pose2mesh_release_tpu.data import get_dataset_class
+    for name in ("Human36M", "COCO", "MuCo", "AMASS", "SURREAL", "PW3D",
+                 "FreiHAND"):
+        assert get_dataset_class(name).name == name

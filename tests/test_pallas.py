@@ -73,6 +73,35 @@ def test_fused_cheby_matches_stack(band_op):
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=1e-3)
 
 
+def test_fully_fused_kernel_matches_stack(band_op):
+    """Lane-aligned channels route through the single fused kernel."""
+    V = band_op.num_vertices
+    F, Fout = 128, 128
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    Wc = jnp.asarray(rng.standard_normal((F * 3, Fout)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32))
+    Wb = Wc.reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
+
+    y_ref = chebyshev_stack(band_op, x, 3) @ Wc + b
+    y_fused = fused_cheby_project(band_op, x, Wb, b)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-3, atol=5e-3)
+
+    # gradient path of the fully fused kernel
+    def f_fused(x, Wb):
+        return (fused_cheby_project(band_op, x, Wb, b) ** 2).sum()
+
+    def f_ref(x, Wc):
+        return ((chebyshev_stack(band_op, x, 3) @ Wc + b) ** 2).sum()
+
+    gx_f, gW_f = jax.grad(f_fused, argnums=(0, 1))(x, Wb)
+    gx_r, gW_r = jax.grad(f_ref, argnums=(0, 1))(x, Wc)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-2, atol=1e-1)
+    gW_r_basis = np.asarray(gW_r).reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
+    np.testing.assert_allclose(np.asarray(gW_f), gW_r_basis, rtol=1e-2, atol=1e-1)
+
+
 def test_fused_cheby_gradients(band_op):
     V = band_op.num_vertices
     F, Fout = 8, 4
