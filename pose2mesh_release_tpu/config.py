@@ -46,6 +46,7 @@ class ModelCfg:
 
 @dataclass
 class TrainCfg:
+    resume_path: str = ""  # explicit resume ckpt (asset/yaml *_amass.yml)
     print_freq: int = 10
     batch_size: int = 64
     shuffle: bool = True

@@ -214,6 +214,12 @@ class Trainer(_Base):
             if is_best:
                 best_err = err["joint_err"]
             self._save(epoch, is_best, final=epoch == cfg.TRAIN.end_epoch)
+            # loss/error curve PDFs (funcs_utils.py:131-151, main/train.py:60-62)
+            from ..utils.plots import save_plot
+            save_plot(self.train_log, cfg.graph_dir, title="train_loss")
+            if self.test_log:
+                save_plot(self.test_log, cfg.graph_dir,
+                          title="test_joint_err", ylabel="mm")
             print(f"epoch {epoch}: train loss {mean_loss:.4f}, "
                   f"test joint err {err.get('joint_err', -1):.2f} mm"
                   + (" (best)" if is_best else ""))

@@ -245,6 +245,51 @@ class MeshDataset:
     def target_flip_pairs(self) -> Tuple[Tuple[int, int], ...]:
         return get_joint_set(self.target_joint_name).flip_pairs
 
+    # --- vectorized batch path (data/pipeline.py; C++ inner loops) ----------
+    def supports_batch(self) -> bool:
+        """The fused pipeline covers the GT-input pose2mesh path; detector
+        replacement / PoseFix noise need the per-sample hook."""
+        return (self.model_name == "pose2mesh_net" and self.use_gt_input
+                and self.gt_mesh is not None and len(self.datalist) > 0)
+
+    def get_batch(self, indices):
+        """Whole-batch __getitem__ with identical semantics
+        (pipeline.batch_pipeline); ~B times fewer Python dispatches."""
+        from .pipeline import batch_pipeline
+
+        idx = np.asarray(indices)
+        joint_img = np.stack(
+            [self.datalist[i]["joint_img"][:, :2] for i in idx]
+        ).astype(np.float32)
+        joint_cam = np.stack(
+            [self.datalist[i]["joint_cam"] for i in idx]
+        ).astype(np.float32)
+        mesh = np.asarray(self.gt_mesh[idx], np.float32)
+        reg3d = np.asarray(self.gt_reg3d[idx], np.float32)
+
+        out = batch_pipeline(
+            joint_img, joint_cam, self.input_shape, self.flip_pairs,
+            is_train=self.is_train, rng=self.rng, mesh_cam=mesh, reg3d=reg3d,
+            target_flip_pairs=self.target_flip_pairs(),
+        )
+        B = len(idx)
+        V = mesh.shape[1]
+        mesh_valid = np.ones((B, V, 1), np.float32)
+        lift_valid = np.ones((B, joint_cam.shape[1], 1), np.float32)
+        reg_valid = np.ones((B, reg3d.shape[1], 1), np.float32)
+        if self.fit_error is not None:
+            bad = self.fit_error[idx] > self.fitting_thr
+            mesh_valid[bad] = 0.0
+            if self.input_joint_name == "coco":
+                lift_valid[bad] = 0.0
+        inputs = {"pose2d": out["pose2d"]}
+        targets = {"mesh": out["mesh"] / 1000.0,
+                   "lift_pose3d": out["lift_pose3d"],
+                   "reg_pose3d": out["reg_pose3d"]}
+        meta = {"mesh_valid": mesh_valid, "lift_pose3d_valid": lift_valid,
+                "reg_pose3d_valid": reg_valid}
+        return inputs, targets, meta
+
     # --- metrics (numpy, engine contract base.py:205-230) -------------------
     @property
     def eval_joints(self) -> Sequence[int]:

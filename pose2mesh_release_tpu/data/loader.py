@@ -81,14 +81,19 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        fused = (getattr(self.dataset, "supports_batch", lambda: False)())
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(nb):
                     if stop.is_set():
                         return
                     batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(stack_samples(samples))
+                    if fused:  # vectorized whole-batch path (data/pipeline.py)
+                        q.put(self.dataset.get_batch(batch_idx))
+                    else:
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        q.put(stack_samples(samples))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -267,6 +267,9 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _lane_aligned(F: int, Fout: int) -> bool:
+    import os
+    if os.environ.get("P2M_FUSED", "1") != "1":  # A/B kill-switch for bench
+        return False
     return F % 128 == 0 and Fout % 128 == 0
 
 

@@ -1,0 +1,108 @@
+"""Explicit vertex-dim model parallelism: shard_map + ppermute halo hops.
+
+The scale axis of this framework (SURVEY.md §2.3, §5): the mesh-level
+Laplacian hop `z = L @ x` with the vertex dimension sharded across the
+'graph' mesh axis.  With the strict block-banded layout (band_k = 1,
+RCM-ordered; graphs.artifact._pack_band) a device owning a contiguous
+range of row-tiles needs exactly ONE neighbor tile from each side per hop
+— the halo.  The exchange is two `ppermute` shifts over ICI (the
+ring-attention-shaped pattern applied to graph aggregation) that XLA
+overlaps with the local shifted-matmul compute, instead of the implicit
+all-gather GSPMD would insert for the same sharding.
+
+GSPMD handles this adequately for inference; this module exists for
+training at scale where the halo traffic (2*T*C floats/device/hop) is
+~nt/2x smaller than an all-gather of the full activation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graphs.artifact import LevelOperator
+
+__all__ = ["halo_banded_hop", "halo_supported"]
+
+
+def halo_supported(op: LevelOperator, mesh: Mesh, axis: str = "graph") -> bool:
+    """Banded k=1 operators always qualify: the tile count is zero-padded
+    up to a multiple of the axis size inside the hop."""
+    return op.kind == "band" and op.band_k == 1
+
+
+def _local_band_hop(band, xt, left, right):
+    """One banded hop on a local slab with explicit halo tiles.
+
+    band: (3, nt_l, T, T); xt: (nt_l, T, C); left/right: (T, C) halo tiles
+    (the neighbor's boundary tile; all-zero at the global edges).
+    """
+    xp = jnp.concatenate([left[None], xt, right[None]], axis=0)
+    y = None
+    for d in range(3):
+        xs = jax.lax.slice_in_dim(xp, d, d + xt.shape[0], axis=0)
+        term = jnp.einsum("tpq,tqc->tpc", band[d], xs,
+                          preferred_element_type=xt.dtype)
+        y = term if y is None else y + term
+    return y
+
+
+def halo_banded_hop(
+    op: LevelOperator,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> jax.Array:
+    """z = L @ x with x (V, B, F) sharded on V over `axis`.
+
+    Requires the row-tile count to divide the axis size (halo_supported).
+    The two boundary-tile exchanges ride ICI via ppermute; interior compute
+    needs no communication at all.
+    """
+    if not halo_supported(op, mesh, axis):
+        raise ValueError("operator/mesh not halo-compatible")
+    T = op.block_size
+    nt = op.band_val.shape[1]
+    n_dev = mesh.shape[axis]
+    V, B, F = x.shape
+    # zero-pad the tile count to a multiple of the axis size: padded tiles
+    # multiply all-zero band blocks, so results are unaffected
+    nt_pad = -(-nt // n_dev) * n_dev
+    Vp = nt_pad * T
+    x2 = x.reshape(V, B * F)
+    if Vp != V:
+        x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+    C = B * F
+    band = op.band_val.astype(x.dtype)
+    if nt_pad != nt:
+        band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
+
+    def local(band_l, x_l):
+        # band_l: (3, nt/n, T, T); x_l: (Vp/n, C)
+        idx = jax.lax.axis_index(axis)
+        xt = x_l.reshape(-1, T, C)
+        # halo: receive the right-neighbor's FIRST tile and the
+        # left-neighbor's LAST tile
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        from_left = jax.lax.ppermute(xt[-1], axis, fwd)   # left nbr's last
+        from_right = jax.lax.ppermute(xt[0], axis, bwd)   # right nbr's first
+        # zero the wrap-around halos at the global boundary (the band
+        # packing guarantees the corresponding blocks are zero anyway;
+        # zeroing makes the contract explicit)
+        zero = jnp.zeros_like(from_left)
+        from_left = jnp.where(idx == 0, zero, from_left)
+        from_right = jnp.where(idx == n_dev - 1, zero, from_right)
+        y = _local_band_hop(band_l, xt, from_left, from_right)
+        return y.reshape(-1, C)
+
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )(band, x2)
+    return out[:V].reshape(V, B, F)

@@ -180,3 +180,21 @@ def test_save_obj(tmp_path):
     lines = open(p).read().splitlines()
     assert sum(1 for l in lines if l.startswith("v ")) == len(v)
     assert sum(1 for l in lines if l.startswith("f ")) == len(f)
+
+
+def test_reference_yamls_parse():
+    """All 18 reference experiment YAMLs load unchanged
+    (lib/core/config.py:87-109 compatibility)."""
+    import glob
+    from pose2mesh_release_tpu.config import load_config
+    paths = sorted(glob.glob("/root/reference/asset/yaml/*.yml"))
+    if not paths:
+        pytest.skip("reference not mounted")
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.TRAIN.batch_size > 0
+    # spot-check one config's values
+    cfg = load_config("/root/reference/asset/yaml/pose2mesh_human36J_train_human36.yml")
+    assert cfg.DATASET.train_list == ["Human36M"]
+    assert cfg.TRAIN.end_epoch == 15 and cfg.TRAIN.edge_loss_start == 7
+    assert cfg.MODEL.posenet_pretrained is True

@@ -87,3 +87,37 @@ def test_sharded_step_matches_single_device():
     flat_sh = jax.tree_util.tree_leaves(s1s.params)
     for a, b in zip(flat_ref, flat_sh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_halo_banded_hop_matches_local():
+    """Explicit ppermute halo hop == single-device banded hop."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pose2mesh_release_tpu.body.synthetic import uv_sphere
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.ops.spmm import spmm_band
+    from pose2mesh_release_tpu.parallel.halo import halo_banded_hop, halo_supported
+
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=7,
+                        skeleton=((0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)),
+                        levels=4)
+    art = pack_pyramid(pyr, faces, dense_threshold=64, block_size=32)
+    op = next(o for o in art.mesh_ops if o.kind == "band")
+
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "graph"))
+    assert halo_supported(op, mesh), (op.band_val.shape, mesh.shape)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((op.num_vertices, 2, 8)), jnp.float32)
+    ref = spmm_band(op, x)
+    out = jax.jit(
+        lambda x_: halo_banded_hop(op, x_, mesh)
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
