@@ -39,17 +39,26 @@ def main(argv=None):
         trainer = Trainer(cfg, resume=args.resume_training, debug=args.debug)
         result = trainer.fit()
     else:  # posenet
+        from ..core.engine import LiftTester
+
         trainer = LiftTrainer(cfg, debug=args.debug)
+        tester = LiftTester(cfg, debug=args.debug) \
+            if cfg.DATASET.test_list else None
         best = float("inf")
         result = {}
-        for epoch in range(trainer.begin_epoch if hasattr(trainer, "begin_epoch")
-                           else 1, cfg.TRAIN.end_epoch + 1):
+        for epoch in range(1, cfg.TRAIN.end_epoch + 1):
             loss = trainer.train_epoch(epoch)
-            is_best = loss < best
-            best = min(best, loss)
-            trainer.save(epoch, is_best=is_best)
-            print(f"epoch {epoch}: loss {loss:.4f}")
             result = {"loss": loss}
+            crit = loss
+            if tester is not None and tester.dataset is not None:
+                ev = tester.test(epoch, state=trainer.state)
+                result.update(ev)
+                crit = ev.get("mpjpe", loss)
+            is_best = crit < best
+            best = min(best, crit)
+            trainer.save(epoch, is_best=is_best)
+            print(f"epoch {epoch}: loss {loss:.4f}"
+                  + (" (best)" if is_best else ""))
     print("training done:", result)
     return result
 

@@ -171,8 +171,12 @@ class Trainer(_Base):
         self.train_log = list(payload.get("train_log", []))
         self.test_log = list(payload.get("test_log", {}).get("joint", []))
 
-    def train_epoch(self, epoch: int) -> float:
-        lr = jnp.asarray(self.lr_at(epoch), jnp.float32)
+    def train_epoch(self, epoch: int, lr_override: Optional[float] = None
+                    ) -> float:
+        lr = jnp.asarray(
+            self.lr_at(epoch) if lr_override is None else lr_override,
+            jnp.float32,
+        )
         use_edge = jnp.asarray(
             1.0 if epoch > self.cfg.TRAIN.edge_loss_start else 0.0, jnp.float32
         )
@@ -205,9 +209,19 @@ class Trainer(_Base):
         cfg = self.cfg
         best_err = float("inf")
         result: Dict[str, float] = {}
+        from ..utils.metrics_log import MetricsLogger
+        mlog = MetricsLogger(osp.join(cfg.output_dir, "metrics.jsonl"))
+        plateau = None
+        if cfg.TRAIN.scheduler == "plateau":
+            from .optim import ReduceLROnPlateau
+            plateau = ReduceLROnPlateau(cfg.TRAIN.lr)
         for epoch in range(self.begin_epoch, cfg.TRAIN.end_epoch + 1):
-            mean_loss = self.train_epoch(epoch)
+            lr_override = plateau.lr if plateau is not None else None
+            mean_loss = self.train_epoch(epoch, lr_override=lr_override)
             err = self.tester.test(epoch, state=self.state, art=self.art_dev)
+            if plateau is not None:
+                plateau.step(err.get("joint_err", mean_loss))
+            mlog.log("epoch", epoch=epoch, train_loss=mean_loss, **err)
             self.test_log.append(err.get("joint_err", 0.0))
             result = err
             is_best = err.get("joint_err", np.inf) < best_err

@@ -266,11 +266,13 @@ def _fused_bwd(T, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _lane_aligned(F: int, Fout: int) -> bool:
+def _fused_enabled() -> bool:
     import os
-    if os.environ.get("P2M_FUSED", "1") != "1":  # A/B kill-switch for bench
-        return False
-    return F % 128 == 0 and Fout % 128 == 0
+    return os.environ.get("P2M_FUSED", "1") == "1"  # A/B kill-switch
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
 
 
 def fused_cheby_project(
@@ -287,7 +289,20 @@ def fused_cheby_project(
     """
     F = x.shape[-1]
     Fout = W.shape[1]
-    if pallas_supported(op, x) and _lane_aligned(F, Fout):
+    if pallas_supported(op, x) and _fused_enabled():
+        # Mosaic's in-kernel (T, BC*F) <-> (T*BC, F) reshapes need
+        # lane-aligned channels; zero-pad F/Fout to 128 multiples (the MXU
+        # computes the padding for free relative to the 2 unfused hops +
+        # intermediate HBM traffic this kernel replaces)
+        Fp, Fop = _pad128(F), _pad128(Fout)
+        if Fp != F or Fop != Fout:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, Fp - F))) if Fp != F else x
+            Wp = W.reshape(3, F, Fout)
+            Wp = jnp.pad(Wp, ((0, 0), (0, Fp - F), (0, Fop - Fout)))
+            bp = jnp.pad(b, (0, Fop - Fout))
+            y = _fused(op.block_size, op.band_val,
+                       xp, Wp.reshape(3 * Fp, Fop), bp)
+            return y[..., :Fout]
         return _fused(op.block_size, op.band_val, x, W, b)
     if pallas_supported(op, x):
         z1 = banded_hop(op, x)

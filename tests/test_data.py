@@ -415,3 +415,47 @@ def test_dataset_registry():
     for name in ("Human36M", "COCO", "MuCo", "AMASS", "SURREAL", "PW3D",
                  "FreiHAND"):
         assert get_dataset_class(name).name == name
+
+
+def test_pw3d_converter_roundtrip(tmp_path, smpl):
+    """Synthetic 3DPW pkl -> converter -> PW3D dataset loads it."""
+    import pickle
+    from pose2mesh_release_tpu.data.tools.pw3d_to_coco import convert_split
+    from pose2mesh_release_tpu.data.pw3d import PW3D
+
+    rng = np.random.default_rng(9)
+    F_N, P_N = 3, 2
+    seq_dir = tmp_path / "sequenceFiles" / "test"
+    seq_dir.mkdir(parents=True)
+    ext = np.tile(np.eye(4, dtype=np.float32), (F_N, 1, 1))
+    ext[:, 2, 3] = 4.0  # camera 4m away
+    data = {
+        "sequence": "synth_seq_00",
+        "betas": [rng.standard_normal(300).astype(np.float32) * 0.2
+                  for _ in range(P_N)],
+        "poses": [rng.standard_normal((F_N, 72)).astype(np.float32) * 0.1
+                  for _ in range(P_N)],
+        "trans": [rng.standard_normal((F_N, 3)).astype(np.float32) * 0.1
+                  for _ in range(P_N)],
+        "jointPositions": [rng.standard_normal((F_N, 24 * 3)).astype(np.float32) * 0.3
+                           for _ in range(P_N)],
+        "genders": ["m", "f"],
+        "campose_valid": np.ones((P_N, F_N)),
+        "cam_poses": ext,
+        "cam_intrinsics": np.array([[1000.0, 0, 500], [0, 1000.0, 500],
+                                    [0, 0, 1]], np.float32),
+        "poses2d": rng.random((P_N, F_N, 3, 18)).astype(np.float32),
+    }
+    with open(seq_dir / "synth_seq_00.pkl", "wb") as f:
+        pickle.dump(data, f)
+
+    out = tmp_path / "3DPW_latest_test.json"
+    stats = convert_split(str(tmp_path), "test", str(out))
+    assert stats["images"] == F_N
+    assert stats["annotations"] > 0
+
+    ds = PW3D("test", data_dir=str(tmp_path), mesh_model=smpl,
+              build_graph=False)
+    assert len(ds) == stats["annotations"]
+    inputs, targets, meta = ds[0]
+    assert inputs["pose2d"].shape == (19, 2)

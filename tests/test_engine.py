@@ -97,6 +97,8 @@ def test_trainer_fit_and_resume(tiny_setup, tmp_path):
     assert osp.exists(osp.join(cfg.checkpoint_dir, "checkpoint2.ckpt"))
     assert osp.exists(osp.join(cfg.checkpoint_dir, "best.ckpt"))
     assert osp.exists(osp.join(cfg.checkpoint_dir, "final.ckpt"))
+    assert osp.exists(osp.join(cfg.output_dir, "metrics.jsonl"))
+    assert osp.exists(osp.join(cfg.graph_dir, "train_loss.pdf"))
     assert len(tr.train_log) == 2
 
     # resume: begin_epoch fast-forwards past saved epochs
