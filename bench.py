@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,12 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the fused-conv kernels cost minutes to
+# compile through the AOT relay; warm runs then start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_p2m"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TARGET_MESHES_PER_SEC = 12800.0
 
@@ -61,8 +68,9 @@ def build(batch_size: int = 64):
             flip_pairs=H36M_FLIP_PAIRS, levels=9,
         )
         art = pack_pyramid(pyr, smpl.face)
-        model = Pose2Mesh(num_joint=17, dtype=dtype,
-                          use_pallas=os.environ.get("P2M_PALLAS", "1") == "1")
+        use_pallas = os.environ.get("P2M_PALLAS", "1") == "1"
+        fold = os.environ.get("P2M_FOLD", "1") == "1"
+        model = Pose2Mesh(num_joint=17, dtype=dtype, use_pallas=use_pallas)
         pose2d = jnp.asarray(
             np.random.default_rng(0).standard_normal((batch_size, 17, 2)),
             dtype=jnp.float32,
@@ -70,6 +78,12 @@ def build(batch_size: int = 64):
         variables = jax.jit(model.init, static_argnums=(3,))(
             jax.random.PRNGKey(0), art, pose2d, False
         )
+        if fold:
+            # deploy path: BN folded into conv weights, ReLU in-kernel
+            from pose2mesh_release_tpu.models.fold import fold_bn_variables
+            model = Pose2Mesh(num_joint=17, dtype=dtype,
+                              use_pallas=use_pallas, inference_fused=True)
+            variables = fold_bn_variables(variables)
     return model, art, variables, pose2d
 
 

@@ -94,5 +94,13 @@ def load_mano_params(model_dir: Optional[str]) -> Optional[BodyModelParams]:
     if d is None:
         return None
     # MANO pkls store hand PCA components too; the full 45-dof pose path is
-    # what Pose2Mesh uses (use_pca=False, lib/_mano.py:33)
-    return _params_from_dict(d)
+    # what Pose2Mesh uses (use_pca=False, lib/_mano.py:33).  The reference
+    # layer runs flat_hand_mean=False, so the stored hands_mean offsets the
+    # articulated pose (manolayer.py:128-155).
+    params = _params_from_dict(d)
+    if "hands_mean" in d:
+        import dataclasses as _dc
+        params = _dc.replace(
+            params, pose_mean=_to_np(d["hands_mean"]).astype(np.float32).reshape(-1)
+        )
+    return params

@@ -43,6 +43,9 @@ class BodyModelParams:
     # static so the kinematic chain unrolls at trace time
     parents: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True), default=())
     faces: jax.Array = dataclasses.field(default=None)
+    # non-flat rest-pose mean added to the articulated pose (MANO
+    # hands_mean with flat_hand_mean=False, manopth/manolayer.py:128-155)
+    pose_mean: jax.Array = dataclasses.field(default=None)
 
     def __post_init__(self):
         if not isinstance(self.parents, tuple):
@@ -108,6 +111,11 @@ def lbs_forward(
     """
     B = pose_axisang.shape[0]
     J = params.num_joints
+    if params.pose_mean is not None:
+        pose_axisang = jnp.concatenate(
+            [pose_axisang[:, :3], pose_axisang[:, 3:] + params.pose_mean[None]],
+            axis=1,
+        )
     pose = pose_axisang.reshape(B, J, 3)
     rots = rodrigues(pose)  # (B, J, 3, 3)
 

@@ -83,10 +83,15 @@ class ChebConv(nn.Module):
     use_relu: bool = True
     dtype: Any = jnp.float32  # compute dtype (bf16 for the fast path)
     use_pallas: bool = True
+    # deploy mode: BN pre-folded into kernel/bias (models.fold), ReLU
+    # applied inside the Pallas kernel -> ONE HBM pass per conv
+    inference_fused: bool = False
 
     @nn.compact
     def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool):
-        from ..ops.pallas_cheby import fused_cheby_project, pallas_supported
+        from ..ops.pallas_cheby import (
+            fused_cheby_project, fused_cheby_project_relu, pallas_supported,
+        )
 
         x = x.astype(self.dtype)
         fin = x.shape[-1]
@@ -94,15 +99,20 @@ class ChebConv(nn.Module):
                             (fin * self.K, self.fout), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
 
+        folded = self.inference_fused and self.use_bn and not train
         if self.use_pallas and self.K == 3 and pallas_supported(op, x):
             # fused kernel wants basis-major rows: [W_x; W_Lx; W_cheb2]
             w_basis = kernel.reshape(fin, self.K, self.fout)
             w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
-            y = fused_cheby_project(op, x, w_basis.astype(self.dtype),
-                                    bias.astype(self.dtype))
+            conv = fused_cheby_project_relu if folded and self.use_relu                 else fused_cheby_project
+            y = conv(op, x, w_basis.astype(self.dtype), bias.astype(self.dtype))
+            if folded:
+                return y
         else:
             xs = chebyshev_stack(op, x, self.K)
             y = xs @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+            if folded:
+                return nn.relu(y) if self.use_relu else y
 
         if self.use_bn:
             # torch BatchNorm1d over B*V rows == flax BN reducing all
@@ -129,6 +139,7 @@ class MeshNet(nn.Module):
     K: int = 3
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    inference_fused: bool = False
 
     @nn.compact
     def __call__(self, art: PyramidArtifact, x: jnp.ndarray, train: bool = False):
@@ -158,7 +169,8 @@ class MeshNet(nn.Module):
                 last_conv = i == n_blocks - 1 and li == len(chans) - 2
                 x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
                              use_pallas=self.use_pallas,
-                             use_bn=not last_conv, use_relu=not last_conv)(op, x, train)
+                             use_bn=not last_conv, use_relu=not last_conv,
+                             inference_fused=self.inference_fused)(op, x, train)
 
             if i == 0:
                 # FC "upsample": joint graph -> coarsest mesh level

@@ -26,13 +26,16 @@ class Pose2Mesh(nn.Module):
     blocks: Tuple[Tuple[int, ...], ...] | None = None  # override for tests
     dtype: Any = jnp.float32  # compute dtype; bf16 for the TPU fast path
     use_pallas: bool = True
+    # deploy mode: pair with models.fold.fold_bn_variables(variables)
+    inference_fused: bool = False
 
     def setup(self):
         self.pose_lifter = PoseNet(self.num_joint, hidden=self.posenet_hidden,
                                    dtype=self.dtype)
         blocks = self.blocks or (MANO_BLOCKS if self.mano else SMPL_BLOCKS)
         self.pose2mesh = MeshNet(blocks=blocks, dtype=self.dtype,
-                                 use_pallas=self.use_pallas)
+                                 use_pallas=self.use_pallas,
+                                 inference_fused=self.inference_fused)
 
     def __call__(
         self,

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..graphs.artifact import LevelOperator
 from .spmm import spmm, spmm_band
 
-__all__ = ["banded_hop", "fused_cheby_project", "pallas_supported"]
+__all__ = ["banded_hop", "fused_cheby_project",
+           "fused_cheby_project_relu", "pallas_supported"]
 
 
 def _interpret() -> bool:
@@ -141,51 +142,68 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
 # these only when F and Fout are lane-aligned (multiples of 128), so other
 # channel shapes take the two-hop + XLA-projection path.
 
-def _fused_kernel_factory(T, BC, F, Fout):
-    def kernel(bm_ref, bc_ref, bp_ref,
-               xm2_ref, xm1_ref, xc_ref, xp1_ref, xp2_ref,
-               w_ref, bias_ref, out_ref):
-        xs = [xm2_ref[:], xm1_ref[:], xc_ref[:], xp1_ref[:], xp2_ref[:]]
+def _fused_kernel_factory(T, BC, F, Fout, m, relu=False):
+    """m output row-tiles per program.  Window layout per program (grid
+    index t): x refs cover tiles t*m + [-2 .. m+1] (m+4 refs), band refs
+    cover rows t*m + [-1 .. m] (m+2 refs).  Clamped out-of-range windows
+    only ever multiply all-zero boundary band blocks, so no masking."""
 
-        def hop(band_ref, base):
-            acc = jnp.dot(band_ref[0, 0], xs[base],
-                          preferred_element_type=jnp.float32)
-            acc += jnp.dot(band_ref[1, 0], xs[base + 1],
-                           preferred_element_type=jnp.float32)
-            acc += jnp.dot(band_ref[2, 0], xs[base + 2],
-                           preferred_element_type=jnp.float32)
+    def kernel(*refs):
+        band_refs = refs[:m + 2]
+        x_refs = refs[m + 2:2 * m + 6]
+        w_ref, bias_ref, out_ref = refs[2 * m + 6:]
+        xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2
+        dt = out_ref.dtype
+
+        def hop(br, base):
+            acc = jnp.dot(br[0, 0], xs[base], preferred_element_type=jnp.float32)
+            acc += jnp.dot(br[1, 0], xs[base + 1], preferred_element_type=jnp.float32)
+            acc += jnp.dot(br[2, 0], xs[base + 2], preferred_element_type=jnp.float32)
             return acc
 
-        dt = out_ref.dtype
-        z1m = hop(bm_ref, 0).astype(dt)
-        z1c = hop(bc_ref, 1).astype(dt)
-        z1p = hop(bp_ref, 2).astype(dt)
-        z2 = (
-            2.0 * (jnp.dot(bc_ref[0, 0], z1m, preferred_element_type=jnp.float32)
-                   + jnp.dot(bc_ref[1, 0], z1c, preferred_element_type=jnp.float32)
-                   + jnp.dot(bc_ref[2, 0], z1p, preferred_element_type=jnp.float32))
-            - xs[2].astype(jnp.float32)
-        ).astype(dt)
+        # z1 for tiles t*m + k, k in [-1 .. m]; z1[k+1] uses x window k-1..k+1
+        z1 = [hop(band_refs[k + 1], k + 1).astype(dt) for k in range(-1, m + 1)]
 
-        def proj(z, k):
+        def proj(z, i):
             z = z.reshape(T, BC, F).reshape(T * BC, F)
-            return jnp.dot(z, w_ref[k * F:(k + 1) * F, :],
+            return jnp.dot(z, w_ref[i * F:(i + 1) * F, :],
                            preferred_element_type=jnp.float32)
 
-        acc = proj(xs[2], 0) + proj(z1c, 1) + proj(z2, 2)
-        acc += bias_ref[0][None, :].astype(jnp.float32)
-        out_ref[:] = acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
+        for j in range(m):
+            br = band_refs[j + 1]  # central band row for output tile j
+            z2 = (
+                2.0 * (jnp.dot(br[0, 0], z1[j], preferred_element_type=jnp.float32)
+                       + jnp.dot(br[1, 0], z1[j + 1], preferred_element_type=jnp.float32)
+                       + jnp.dot(br[2, 0], z1[j + 2], preferred_element_type=jnp.float32))
+                - xs[j + 2].astype(jnp.float32)
+            ).astype(dt)
+            acc = proj(xs[j + 2], 0) + proj(z1[j + 1], 1) + proj(z2, 2)
+            acc += bias_ref[0][None, :].astype(jnp.float32)
+            if relu:  # deploy-mode: BN folded into W/b, activation in-kernel
+                acc = jnp.maximum(acc, 0.0)
+            out_ref[j * T:(j + 1) * T, :] = (
+                acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
+            )
 
     return kernel
 
 
-def _fused_call(band_val, x, W, b, T):
+def _fused_call(band_val, x, W, b, T, relu=False):
     nt = band_val.shape[1]
     V, B, F = x.shape
     Fout = W.shape[1]
-    Vp = nt * T
-    # batch chunk: 5 halo x-tiles + 3 f32 hop intermediates must fit the
-    # scoped-VMEM stack; ~2048 lanes keeps the live set ~10 MB at T=128
+    # m output row-tiles per program: the (m+4)/m halo read amplification
+    # drops from 5x (m=1) to 2x (m=4); m>4 buys little more bandwidth but
+    # inflates Mosaic compile time (the kernel body unrolls ~12*m matmuls)
+    m = 1
+    for cand in (4, 2):
+        if nt >= 2 * cand:
+            m = cand
+            break
+    nt_pad = -(-nt // m) * m
+    Vp = nt_pad * T
+    # batch chunk: the x window, z1 intermediates, and f32 accumulators
+    # must fit VMEM; ~2048 lanes keeps the live set ~20 MB at T=128, m=8
     BC = 1
     for c in range(1, B + 1):
         if B % c == 0 and c * max(F, Fout) <= 2048:
@@ -194,38 +212,44 @@ def _fused_call(band_val, x, W, b, T):
     x2 = x.reshape(V, B * F)
     if Vp != V:
         x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+    band = band_val
+    if nt_pad != nt:
+        band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
 
     def bspec(shift):
-        return pl.BlockSpec((3, 1, T, T),
-                            lambda c, t: (0, jnp.clip(t + shift, 0, nt - 1), 0, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (3, 1, T, T),
+            lambda c, t: (0, jnp.clip(t * m + shift, 0, nt_pad - 1), 0, 0),
+            memory_space=pltpu.VMEM)
 
     def xspec(shift):
-        return pl.BlockSpec((T, BC * F),
-                            lambda c, t: (jnp.clip(t + shift, 0, nt - 1), c),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (T, BC * F),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), c),
+            memory_space=pltpu.VMEM)
+
+    band_specs = [bspec(k) for k in range(-1, m + 1)]        # m+2
+    x_specs = [xspec(i) for i in range(-2, m + 2)]           # m+4
+    band_in = band.astype(x.dtype)
 
     out = pl.pallas_call(
-        _fused_kernel_factory(T, BC, F, Fout),
-        grid=(ncc, nt),
-        in_specs=[
-            bspec(-1), bspec(0), bspec(1),
-            xspec(-2), xspec(-1), xspec(0), xspec(1), xspec(2),
+        _fused_kernel_factory(T, BC, F, Fout, m, relu),
+        grid=(ncc, nt_pad // m),
+        in_specs=band_specs + x_specs + [
             pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, BC * Fout), lambda c, t: (t, c),
+        out_specs=pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(band_val.astype(x.dtype), band_val.astype(x.dtype), band_val.astype(x.dtype),
-      x2, x2, x2, x2, x2,
-      W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype))
+    )(*([band_in] * (m + 2) + [x2] * (m + 4)
+        + [W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype)]))
     return out[:V].reshape(V, B, Fout)
 
 
@@ -236,6 +260,26 @@ def _fused(T, band_val, x, W, b):
 
 def _fused_fwd(T, band_val, x, W, b):
     return _fused_call(band_val, x, W, b, T), (band_val, x, W)
+
+
+def fused_cheby_project_relu(op, x, W, b):
+    """Inference-only fused conv + in-kernel ReLU (no VJP; BN pre-folded
+    into W/b by models.fold.fold_bn_variables).  Falls back to
+    relu(fused_cheby_project) off the Pallas path."""
+    F = x.shape[-1]
+    Fout = W.shape[1]
+    if pallas_supported(op, x) and _fused_enabled():
+        Fp, Fop = _pad128(F), _pad128(Fout)
+        if Fp != F or Fop != Fout:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, Fp - F))) if Fp != F else x
+            Wp = W.reshape(3, F, Fout)
+            Wp = jnp.pad(Wp, ((0, 0), (0, Fp - F), (0, Fop - Fout)))
+            bp = jnp.pad(b, (0, Fop - Fout))
+            y = _fused_call(op.band_val, xp, Wp.reshape(3 * Fp, Fop), bp,
+                            op.block_size, relu=True)
+            return y[..., :Fout]
+        return _fused_call(op.band_val, x, W, b, op.block_size, relu=True)
+    return jnp.maximum(fused_cheby_project(op, x, W, b), 0.0)
 
 
 def _fused_bwd(T, res, g):

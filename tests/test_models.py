@@ -121,3 +121,31 @@ def test_posenet_dropout_only_in_train():
     t2 = model.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(2)},
                      mutable=["batch_stats"])[0]
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_bn_folding_matches_eval(art):
+    """fold_bn_variables + inference_fused model == standard eval forward."""
+    import jax
+    from pose2mesh_release_tpu.models.fold import fold_bn_variables
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    model = Pose2Mesh(num_joint=J, posenet_hidden=32, blocks=TEST_BLOCKS)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, J, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), art, x, False)
+    # perturb batch stats so folding is non-trivial
+    variables = jax.tree.map(
+        lambda a: a + 0.1 * np.random.default_rng(4).standard_normal(a.shape)
+        .astype(a.dtype) if a.ndim >= 1 else a, variables)
+
+    ref_mesh, ref_pose = model.apply(variables, art, x, False)
+
+    inf_model = Pose2Mesh(num_joint=J, posenet_hidden=32,
+                          blocks=TEST_BLOCKS, inference_fused=True)
+    inf_vars = fold_bn_variables(variables)
+    out_mesh, out_pose = inf_model.apply(inf_vars, art, x, False)
+
+    np.testing.assert_allclose(np.asarray(out_pose), np.asarray(ref_pose),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(ref_mesh),
+                               rtol=1e-3, atol=1e-4)
