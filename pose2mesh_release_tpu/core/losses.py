@@ -13,7 +13,10 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-__all__ = ["coord_l1", "normal_vector_loss", "edge_length_loss", "pose2mesh_loss"]
+__all__ = [
+    "coord_l1", "normal_vector_loss", "edge_length_loss", "pose2mesh_loss",
+    "make_laplacian_loss",
+]
 
 
 def coord_l1(pred: jax.Array, target: jax.Array, valid: jax.Array | None = None) -> jax.Array:
@@ -61,6 +64,41 @@ def edge_length_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array) -> jax.Ar
     d2 = jnp.abs(elen(pred, f0, f2) - elen(gt, f0, f2))
     d3 = jnp.abs(elen(pred, f1, f2) - elen(gt, f1, f2))
     return jnp.stack([d1, d2, d3]).mean()
+
+
+def make_laplacian_loss(faces):
+    """Uniform-Laplacian smoothness loss (loss.py:26-59, defined but unused in
+    the reference training objective loss.py:117-120).
+
+    The reference materializes a dense V x V row-normalized Laplacian and does
+    a per-sample dense matmul; here delta_i = x_i - mean(neighbors(x_i)) is
+    computed with two segment-sums over the undirected edge list (O(E), no
+    V^2 buffer), identical semantics: loss = mean_i ||delta_i||^2 (or
+    sum/batch when average=True).
+    """
+    import numpy as np
+
+    f = np.asarray(faces)
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    e = np.unique(np.sort(e, axis=1), axis=0)  # undirected, deduped
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    num_v = int(f.max()) + 1
+    deg = np.bincount(src, minlength=num_v).astype(np.float32)
+    src_j = jnp.asarray(src)
+    dst_j = jnp.asarray(dst)
+    inv_deg = jnp.asarray(1.0 / (deg + 1e-8))
+
+    def loss(x: jax.Array, average: bool = False) -> jax.Array:
+        # x: (B, V, 3).  neighbor mean via segment_sum on the vertex axis.
+        nbr_sum = jax.ops.segment_sum(
+            x[:, dst_j].swapaxes(0, 1), src_j, num_segments=num_v
+        ).swapaxes(0, 1)
+        delta = x - nbr_sum * inv_deg[None, :, None]
+        sq = (delta ** 2).sum(-1)
+        return sq.sum() / x.shape[0] if average else sq.mean()
+
+    return loss
 
 
 def pose2mesh_loss(

@@ -9,6 +9,7 @@ from pose2mesh_release_tpu.body.synthetic import uv_sphere
 from pose2mesh_release_tpu.core.losses import (
     coord_l1,
     edge_length_loss,
+    make_laplacian_loss,
     normal_vector_loss,
 )
 from pose2mesh_release_tpu.core.metrics import mpjpe, pa_mpjpe, rigid_align
@@ -53,6 +54,30 @@ def test_coord_l1_masking():
     # CoordLoss semantics, loss.py:10-23)
     assert float(coord_l1(pred, target, valid)) == pytest.approx(0.5)
     assert float(coord_l1(pred, target, None)) == pytest.approx(1.0)
+
+
+def test_laplacian_loss_matches_dense_reference():
+    # segment-sum form == the reference's dense row-normalized Laplacian
+    # (loss.py:26-59) applied per sample
+    _, faces = uv_sphere(110)
+    f = np.asarray(faces)
+    nv = int(f.max()) + 1
+    lap = np.zeros((nv, nv), np.float32)
+    lap[f[:, 0], f[:, 1]] = -1; lap[f[:, 1], f[:, 0]] = -1
+    lap[f[:, 1], f[:, 2]] = -1; lap[f[:, 2], f[:, 1]] = -1
+    lap[f[:, 2], f[:, 0]] = -1; lap[f[:, 0], f[:, 2]] = -1
+    r, c = np.diag_indices(nv)
+    lap[r, c] = -lap.sum(1)
+    lap /= lap[r, c][:, None] + 1e-8
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, nv, 3)).astype(np.float32)
+    want = float((np.einsum("vw,bwc->bvc", lap, x) ** 2).sum(2).mean())
+    got = make_laplacian_loss(faces)(jnp.asarray(x))
+    assert float(got) == pytest.approx(want, rel=1e-4)
+    got_avg = make_laplacian_loss(faces)(jnp.asarray(x), average=True)
+    want_avg = float((np.einsum("vw,bwc->bvc", lap, x) ** 2).sum(2).sum() / 2)
+    assert float(got_avg) == pytest.approx(want_avg, rel=1e-4)
 
 
 def test_normal_and_edge_losses_zero_at_gt():
