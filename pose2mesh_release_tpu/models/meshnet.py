@@ -181,14 +181,23 @@ class MeshNet(nn.Module):
                 x = nn.Dense(v_coarse * f, dtype=self.dtype)(flat)
                 x = jnp.swapaxes(x.reshape(B, v_coarse, f), 0, 1)  # (Vc, B, f)
             elif i < n_blocks - 1:
-                # channel-interpolated residual skip (meshnet.py:109-115)
-                M = jnp.asarray(channel_interp_matrix(input_x.shape[-1], x.shape[-1]),
-                                dtype=x.dtype)
-                x = x + input_x.astype(x.dtype) @ M.T
+                # channel-interpolated residual skip (meshnet.py:109-115);
+                # when fin == fout torch's interpolate is the identity, so
+                # skip the (V*B, F) @ (F, F) matmul entirely (it also forces
+                # XLA into transposed layouts + copies before each kernel)
+                if input_x.shape[-1] == x.shape[-1]:
+                    x = x + input_x.astype(x.dtype)
+                else:
+                    M = jnp.asarray(
+                        channel_interp_matrix(input_x.shape[-1], x.shape[-1]),
+                        dtype=x.dtype)
+                    x = x + input_x.astype(x.dtype) @ M.T
                 if i < n_blocks - 2:
-                    # x2 nearest vertex upsample via precomputed gather
+                    # x2 nearest vertex upsample via precomputed gather; the
+                    # indices are static and in-bounds — promise it so XLA
+                    # emits a bare gather (no fill-value compare/select pass)
                     up = art.up_idx[n_mesh - i - 1]
-                    x = jnp.take(x, up, axis=0)
+                    x = jnp.take(x, up, axis=0, mode="clip")
         # (V, B, 3) -> (B, V, 3); coordinates leave the net in f32
         return jnp.swapaxes(x, 0, 1).astype(jnp.float32)
 
@@ -196,4 +205,4 @@ class MeshNet(nn.Module):
 def extract_mesh(art: PyramidArtifact, mesh_out: jnp.ndarray) -> jnp.ndarray:
     """(B, V_pad, 3) device-order output -> (B, V, 3) original vertex order
     (the graph_perm_reverse gather of lib/core/base.py:130)."""
-    return jnp.take(mesh_out, art.vertex_gather, axis=1)
+    return jnp.take(mesh_out, art.vertex_gather, axis=1, mode="clip")

@@ -195,18 +195,21 @@ def _fused_call(band_val, x, W, b, T, relu=False):
     # m output row-tiles per program: the (m+4)/m halo read amplification
     # drops from 5x (m=1) to 2x (m=4); m>4 buys little more bandwidth but
     # inflates Mosaic compile time (the kernel body unrolls ~12*m matmuls)
+    import os
+    m_target = int(os.environ.get("P2M_FUSED_M", "4"))
     m = 1
-    for cand in (4, 2):
-        if nt >= 2 * cand:
+    for cand in (m_target, m_target // 2, 2):
+        if cand >= 2 and nt >= 2 * cand:
             m = cand
             break
     nt_pad = -(-nt // m) * m
     Vp = nt_pad * T
     # batch chunk: the x window, z1 intermediates, and f32 accumulators
     # must fit VMEM; ~2048 lanes keeps the live set ~20 MB at T=128, m=8
+    lane_cap = int(os.environ.get("P2M_FUSED_LANES", "2048"))
     BC = 1
     for c in range(1, B + 1):
-        if B % c == 0 and c * max(F, Fout) <= 2048:
+        if B % c == 0 and c * max(F, Fout) <= lane_cap:
             BC = c
     ncc = B // BC
     x2 = x.reshape(V, B * F)

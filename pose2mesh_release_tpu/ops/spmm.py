@@ -76,7 +76,7 @@ def spmm_bcsr(op: LevelOperator, x: jax.Array) -> jax.Array:
     if nt * T != V:
         x2 = jnp.pad(x2, ((0, nt * T - V), (0, 0)))
     xt = x2.reshape(nt, T, C)
-    gathered = jnp.take(xt, op.blk_col.reshape(-1), axis=0)
+    gathered = jnp.take(xt, op.blk_col.reshape(-1), axis=0, mode="clip")
     gathered = gathered.reshape(nt, maxb, T, C)
     y = jnp.einsum(
         "nbpq,nbqc->npc", op.blk_val.astype(x.dtype), gathered,
@@ -92,7 +92,7 @@ def spmm_ell(op: LevelOperator, x: jax.Array) -> jax.Array:
     """ELLPACK gather SpMM: y[v] = sum_d w[v, d] * x[idx[v, d]]."""
     shape = x.shape
     x2 = x.reshape(shape[0], -1)
-    nbrs = jnp.take(x2, op.ell_idx.reshape(-1), axis=0)
+    nbrs = jnp.take(x2, op.ell_idx.reshape(-1), axis=0, mode="clip")
     nbrs = nbrs.reshape(op.ell_idx.shape + (x2.shape[1],))
     y = jnp.einsum("vdc,vd->vc", nbrs, op.ell_w.astype(x.dtype))
     return y.reshape(shape)
