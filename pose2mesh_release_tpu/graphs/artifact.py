@@ -84,6 +84,16 @@ class LevelOperator:
     def nnz(self) -> int:
         return int((np.asarray(self.ell_w) != 0).sum())
 
+    @property
+    def padded_vertices(self) -> int:
+        """Row count of the kernel-facing operator: band levels are padded
+        at pack time to a whole multiple of the Pallas row-tile group
+        (zero blocks), so the deploy path can keep feature maps at this
+        size and never pad/slice between convs."""
+        if self.kind == "band":
+            return int(self.band_val.shape[1]) * self.block_size
+        return self.num_vertices
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -167,6 +177,12 @@ def _pack_band(L: sp.csr_matrix, T: int) -> Tuple[np.ndarray, int]:
     L = sp.csr_matrix(L)
     V = L.shape[0]
     nt = _cdiv(V, T)
+    if nt > 4:
+        # round the tile count up to a multiple of the fused kernel's
+        # row-tile group (m=4) with all-zero blocks: feature maps can then
+        # live at nt*T rows through a whole level with zero runtime
+        # padding/slicing (ops.pallas_cheby)
+        nt = _cdiv(nt, 4) * 4
     coo = L.tocoo()
     bw = int(np.abs(coo.row // T - coo.col // T).max()) if coo.nnz else 0
     band_k = bw
@@ -256,10 +272,11 @@ def pack_pyramid(
         kind = "dense" if V <= dense_threshold else sparse_kind
         if kind == "band" and ordering != "rcm":
             kind = "bcsr"  # band layout needs the bandwidth-minimized order
-        # per-level tile size: largest MXU-friendly divisor of V so the
-        # Pallas kernels see exact tiling (e.g. V=960 -> T=64, 1088 -> 64)
+        # band levels always use the full 128-lane MXU tile (pack-time zero
+        # padding beats shrinking the tile: T=64 would push band_k to 2 and
+        # off the fused-kernel path); bcsr keeps divisor-fitting tiles
         T = block_size
-        if kind != "dense":
+        if kind == "bcsr":
             for cand in (block_size, 64, 32):
                 if V % cand == 0:
                     T = cand

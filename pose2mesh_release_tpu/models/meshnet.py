@@ -86,12 +86,38 @@ class ChebConv(nn.Module):
     # deploy mode: BN pre-folded into kernel/bias (models.fold), ReLU
     # applied inside the Pallas kernel -> ONE HBM pass per conv
     inference_fused: bool = False
+    # flat deploy path: x is (Vp, batch*Fp) 2-D, fin is the REAL input
+    # channel count (lanes are zero-padded to 128 multiples); param shapes
+    # stay canonical so checkpoints are layout-independent
+    flat_batch: int = 0
+    fin: int = 0
 
     @nn.compact
-    def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool):
+    def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool,
+                 *, skip: jnp.ndarray | None = None,
+                 skip_w: jnp.ndarray | None = None, out_3d: bool = False):
         from ..ops.pallas_cheby import (
-            fused_cheby_project, fused_cheby_project_relu, pallas_supported,
+            fused_cheby_project, fused_cheby_project_relu, fused_conv_flat,
+            pallas_supported,
         )
+
+        if self.flat_batch:
+            # flat deploy path (inference only, BN pre-folded)
+            B = self.flat_batch
+            fin = self.fin
+            Fp = x.shape[1] // B
+            Fop = -(-self.fout // 128) * 128
+            kernel = self.param("kernel", _ref_uniform_init,
+                                (fin * self.K, self.fout), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.fout,), jnp.float32)
+            w = kernel.reshape(fin, self.K, self.fout).transpose(1, 0, 2)
+            w = jnp.pad(w, ((0, 0), (0, Fp - fin), (0, Fop - self.fout)))
+            bp = jnp.pad(bias, (0, Fop - self.fout))
+            return fused_conv_flat(
+                op, x, B, w.reshape(self.K * Fp, Fop).astype(self.dtype),
+                bp.astype(self.dtype), relu=self.use_relu,
+                skip=skip, skip_w=skip_w, out_3d=out_3d)
 
         x = x.astype(self.dtype)
         fin = x.shape[-1]
@@ -159,44 +185,104 @@ class MeshNet(nn.Module):
                 return art.mesh_ops[0]
             return art.mesh_ops[n_mesh - i]
 
+        from ..ops.pallas_cheby import _fused_enabled
+
         B = x.shape[0]
         x = jnp.swapaxes(x, 0, 1)  # (J, B, C_in): vertex-major throughout
 
+        def _flat_ok(op: LevelOperator) -> bool:
+            return op.kind != "band" or (op.band_k == 1 and op.block_size == 128)
+
+        # deploy fast path: band levels stay in the flat 2-D (Vp, B*Fp)
+        # layout end-to-end — no (V, B, F) <-> (V, B*F) re-tiling, no
+        # row pad/slice (pack-time padding), residual skips and the final
+        # 3-D write fused into the conv kernels' epilogues
+        use_flat = (self.inference_fused and not train and self.use_pallas
+                    and _fused_enabled()
+                    and all(_flat_ok(op) for op in art.mesh_ops))
+        flat = False  # whether x currently carries the 2-D flat layout
+
         for i, chans in enumerate(self.blocks):
             op = op_for_block(i)
+            block_flat = use_flat and op.kind == "band"
+            if block_flat and not flat:
+                # entering the flat pipeline without a gather transition
+                # (band level directly after the FC): re-tile + pad once
+                lanes = -(-chans[0] // 128) * 128
+                if x.shape[-1] != lanes:
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, lanes - x.shape[-1])))
+                x = x.reshape(x.shape[0], -1)
+                if op.padded_vertices != x.shape[0]:
+                    x = jnp.pad(x, ((0, op.padded_vertices - x.shape[0]), (0, 0)))
+                flat = True
             input_x = x
+            has_skip = 0 < i < n_blocks - 1
             for li in range(len(chans) - 1):
                 last_conv = i == n_blocks - 1 and li == len(chans) - 2
+                block_last = li == len(chans) - 2
+                skip = skip_w = None
+                if block_flat and block_last and has_skip:
+                    fin_b, fout_b = chans[0], chans[-1]
+                    skip = input_x
+                    if fin_b != fout_b:
+                        fs_lanes = input_x.shape[1] // B
+                        fop = -(-fout_b // 128) * 128
+                        m_i = channel_interp_matrix(fin_b, fout_b).T  # (fin, fout)
+                        skip_w = jnp.asarray(
+                            np.pad(m_i, ((0, fs_lanes - fin_b), (0, fop - fout_b))),
+                            dtype=self.dtype)
                 x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
                              use_pallas=self.use_pallas,
                              use_bn=not last_conv, use_relu=not last_conv,
-                             inference_fused=self.inference_fused)(op, x, train)
+                             inference_fused=self.inference_fused,
+                             flat_batch=B if block_flat else 0,
+                             fin=chans[li] if block_flat else 0)(
+                    op, x, train, skip=skip, skip_w=skip_w,
+                    out_3d=last_conv and block_flat)
+            if block_flat and i == n_blocks - 1:
+                flat = False  # final conv wrote (Vp, B, Fop) 3-D directly
+                x = x[:op.num_vertices, :, :chans[-1]]
 
             if i == 0:
                 # FC "upsample": joint graph -> coarsest mesh level
                 # (meshnet.py:36-37,104-106)
                 v_coarse = art.mesh_ops[-1].num_vertices
                 f = self.blocks[1][0]
-                flat = jnp.swapaxes(x, 0, 1).reshape(B, -1)  # (B, J*F)
-                x = nn.Dense(v_coarse * f, dtype=self.dtype)(flat)
+                flat2 = jnp.swapaxes(x, 0, 1).reshape(B, -1)  # (B, J*F)
+                x = nn.Dense(v_coarse * f, dtype=self.dtype)(flat2)
                 x = jnp.swapaxes(x.reshape(B, v_coarse, f), 0, 1)  # (Vc, B, f)
             elif i < n_blocks - 1:
-                # channel-interpolated residual skip (meshnet.py:109-115);
-                # when fin == fout torch's interpolate is the identity, so
-                # skip the (V*B, F) @ (F, F) matmul entirely (it also forces
-                # XLA into transposed layouts + copies before each kernel)
-                if input_x.shape[-1] == x.shape[-1]:
-                    x = x + input_x.astype(x.dtype)
-                else:
-                    M = jnp.asarray(
-                        channel_interp_matrix(input_x.shape[-1], x.shape[-1]),
-                        dtype=x.dtype)
-                    x = x + input_x.astype(x.dtype) @ M.T
+                if not block_flat:
+                    # channel-interpolated residual skip (meshnet.py:109-115);
+                    # identity when fin == fout (torch F.interpolate on equal
+                    # sizes), in which case the matmul (and the transposed
+                    # layouts + copies it forces) is skipped; flat blocks get
+                    # this fused into the conv epilogue above
+                    if input_x.shape[-1] == x.shape[-1]:
+                        x = x + input_x.astype(x.dtype)
+                    else:
+                        M = jnp.asarray(
+                            channel_interp_matrix(input_x.shape[-1], x.shape[-1]),
+                            dtype=x.dtype)
+                        x = x + input_x.astype(x.dtype) @ M.T
                 if i < n_blocks - 2:
-                    # x2 nearest vertex upsample via precomputed gather; the
-                    # indices are static and in-bounds — promise it so XLA
-                    # emits a bare gather (no fill-value compare/select pass)
+                    # x2 nearest vertex upsample via precomputed gather
+                    # (static in-bounds indices -> bare gather, no fill pass)
                     up = art.up_idx[n_mesh - i - 1]
+                    next_op = op_for_block(i + 1)
+                    next_flat = use_flat and next_op.kind == "band"
+                    if next_flat and not flat:
+                        # enter the flat pipeline: (V, B, F) -> (V, B*Fp);
+                        # one cheap re-tile (plus lane pad) at a coarse level
+                        lanes = -(-x.shape[-1] // 128) * 128
+                        if x.shape[-1] != lanes:
+                            x = jnp.pad(
+                                x, ((0, 0), (0, 0), (0, lanes - x.shape[-1])))
+                        x = x.reshape(x.shape[0], -1)
+                        flat = True
+                    if flat:
+                        vp_next = next_op.padded_vertices
+                        up = jnp.pad(up, (0, vp_next - up.shape[0]))
                     x = jnp.take(x, up, axis=0, mode="clip")
         # (V, B, 3) -> (B, V, 3); coordinates leave the net in f32
         return jnp.swapaxes(x, 0, 1).astype(jnp.float32)

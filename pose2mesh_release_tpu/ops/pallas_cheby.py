@@ -26,6 +26,7 @@ on non-3D inputs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..graphs.artifact import LevelOperator
 from .spmm import spmm, spmm_band
 
-__all__ = ["banded_hop", "fused_cheby_project",
-           "fused_cheby_project_relu", "pallas_supported"]
+__all__ = ["banded_hop", "fused_cheby_project", "fused_cheby_project_relu",
+           "fused_conv_flat", "pallas_supported"]
 
 
 def _interpret() -> bool:
@@ -142,16 +143,30 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
 # these only when F and Fout are lane-aligned (multiples of 128), so other
 # channel shapes take the two-hop + XLA-projection path.
 
-def _fused_kernel_factory(T, BC, F, Fout, m, relu=False):
+def _fused_kernel_factory(T, BC, F, Fout, m, relu=False,
+                          skip_mode=None, Fs=0, out_3d=False):
     """m output row-tiles per program.  Window layout per program (grid
     index t): x refs cover tiles t*m + [-2 .. m+1] (m+4 refs), band refs
     cover rows t*m + [-1 .. m] (m+2 refs).  Clamped out-of-range windows
-    only ever multiply all-zero boundary band blocks, so no masking."""
+    only ever multiply all-zero boundary band blocks, so no masking.
+
+    Optional fused residual epilogue (the reference's per-block skip,
+    meshnet.py:109-115) applied AFTER the activation:
+      skip_mode == "add":  out += skip tile (same lane layout as out);
+      skip_mode == "proj": out += reshape(skip tile (T, BC*Fs)) @ skip_w —
+        the channel-interp residual as one extra in-VMEM matmul instead of
+        a separate full-tensor pass.
+    out_3d writes (T, BC, Fout) blocks of a (Vp, B, Fout) output (used by
+    the network's last conv so no flat->3D retiling pass is needed)."""
 
     def kernel(*refs):
         band_refs = refs[:m + 2]
         x_refs = refs[m + 2:2 * m + 6]
-        w_ref, bias_ref, out_ref = refs[2 * m + 6:]
+        rest = list(refs[2 * m + 6:])
+        skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
+        w_ref, bias_ref = rest[0], rest[1]
+        skip_w_ref = rest[2] if skip_mode == "proj" else None
+        out_ref = rest[-1]
         xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2
         dt = out_ref.dtype
 
@@ -181,11 +196,137 @@ def _fused_kernel_factory(T, BC, F, Fout, m, relu=False):
             acc += bias_ref[0][None, :].astype(jnp.float32)
             if relu:  # deploy-mode: BN folded into W/b, activation in-kernel
                 acc = jnp.maximum(acc, 0.0)
-            out_ref[j * T:(j + 1) * T, :] = (
-                acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
-            )
+            if skip_mode == "add":
+                acc += skip_refs[j][:].reshape(T, BC, Fout).reshape(
+                    T * BC, Fout).astype(jnp.float32)
+            elif skip_mode == "proj":
+                s = skip_refs[j][:].reshape(T, BC, Fs).reshape(T * BC, Fs)
+                acc += jnp.dot(s, skip_w_ref[:],
+                               preferred_element_type=jnp.float32)
+            if out_3d:
+                out_ref[j * T:(j + 1) * T] = acc.astype(dt).reshape(T, BC, Fout)
+            else:
+                out_ref[j * T:(j + 1) * T, :] = (
+                    acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
+                )
 
     return kernel
+
+
+def _pick_m(nt: int, require_divisor: bool = False) -> int:
+    """Output row-tiles per program: prefer a divisor of nt (pack_pyramid
+    pads band tile counts to multiples of 4) so no runtime row padding is
+    ever needed; the (m+2)/m halo-recompute overhead shrinks with m."""
+    m_target = int(os.environ.get("P2M_FUSED_M", "4"))
+    for cand in (m_target, m_target // 2, 2):
+        if cand >= 2 and nt % cand == 0 and nt >= 2 * cand:
+            return cand
+    if not require_divisor:
+        for cand in (m_target, m_target // 2, 2):
+            if cand >= 2 and nt >= 2 * cand:
+                return cand
+    return 1
+
+
+def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
+                    W: jax.Array, b: jax.Array, *, relu: bool = False,
+                    skip: jax.Array | None = None,
+                    skip_w: jax.Array | None = None,
+                    out_3d: bool = False) -> jax.Array:
+    """Deploy-only fused Chebyshev conv on the flat (Vp, batch*Fp) layout.
+
+    The inference pipeline keeps band levels 2-D the whole way (Vp rows are
+    the pack-time padded tile count, lanes are batch-major feature chunks),
+    so XLA never re-tiles (V, B, F) <-> (V, B*F) between convs.  All lane
+    counts must already be 128-aligned (the caller zero-pads weights, and
+    upstream convs emit zero-padded lanes).
+
+    skip: optional residual (Vp, batch*Fs) added after the activation;
+      skip_w None -> plain add (Fs == Fout), else the channel-interp
+      residual matmul with skip_w (Fs, Fout) fused into the epilogue.
+    out_3d: return (Vp, batch, Fout) written directly by the kernel.
+    No VJP: training uses the 3-D path with BatchNorm.
+    """
+    T = op.block_size
+    band_val = op.band_val
+    nt = band_val.shape[1]
+    Vp, C = x2.shape
+    assert Vp == nt * T, (Vp, nt, T)
+    F = C // batch
+    Fout = W.shape[1]
+    assert W.shape[0] == 3 * F, (W.shape, F)
+    m = _pick_m(nt, require_divisor=True)
+    lane_cap = int(os.environ.get("P2M_FUSED_LANES", "2048"))
+    BC = 1
+    for c in range(1, batch + 1):
+        if batch % c == 0 and c * max(F, Fout) <= lane_cap:
+            BC = c
+    ncc = batch // BC
+
+    def bspec(shift):
+        return pl.BlockSpec(
+            (3, 1, T, T),
+            lambda c, t: (0, jnp.clip(t * m + shift, 0, nt - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def xspec(shift):
+        return pl.BlockSpec(
+            (T, BC * F),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt - 1), c),
+            memory_space=pltpu.VMEM)
+
+    band_in = band_val.astype(x2.dtype)
+    in_specs = [bspec(k) for k in range(-1, m + 1)]
+    operands = [band_in] * (m + 2)
+    in_specs += [xspec(i) for i in range(-2, m + 2)]
+    operands += [x2] * (m + 4)
+
+    skip_mode = None
+    Fs = 0
+    if skip is not None:
+        Fs = skip.shape[1] // batch
+        skip_mode = "add" if skip_w is None else "proj"
+        if skip_mode == "add" and Fs != Fout:
+            raise ValueError(f"plain skip-add needs Fs == Fout ({Fs} vs {Fout})")
+        for j in range(m):
+            in_specs.append(pl.BlockSpec(
+                (T, BC * Fs),
+                (lambda j: lambda c, t: (t * m + j, c))(j),
+                memory_space=pltpu.VMEM))
+            operands.append(skip)
+
+    in_specs.append(pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(W.astype(x2.dtype))
+    in_specs.append(pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(b.reshape(1, -1).astype(x2.dtype))
+    if skip_mode == "proj":
+        in_specs.append(pl.BlockSpec((Fs, Fout), lambda c, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(skip_w.astype(x2.dtype))
+
+    if out_3d:
+        out_specs = pl.BlockSpec((m * T, BC, Fout), lambda c, t: (t, c, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Vp, batch, Fout), x2.dtype)
+    else:
+        out_specs = pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Vp, batch * Fout), x2.dtype)
+
+    return pl.pallas_call(
+        _fused_kernel_factory(T, BC, F, Fout, m, relu,
+                              skip_mode=skip_mode, Fs=Fs, out_3d=out_3d),
+        grid=(ncc, nt // m),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(*operands)
 
 
 def _fused_call(band_val, x, W, b, T, relu=False):
@@ -195,13 +336,7 @@ def _fused_call(band_val, x, W, b, T, relu=False):
     # m output row-tiles per program: the (m+4)/m halo read amplification
     # drops from 5x (m=1) to 2x (m=4); m>4 buys little more bandwidth but
     # inflates Mosaic compile time (the kernel body unrolls ~12*m matmuls)
-    import os
-    m_target = int(os.environ.get("P2M_FUSED_M", "4"))
-    m = 1
-    for cand in (m_target, m_target // 2, 2):
-        if cand >= 2 and nt >= 2 * cand:
-            m = cand
-            break
+    m = _pick_m(nt)
     nt_pad = -(-nt // m) * m
     Vp = nt_pad * T
     # batch chunk: the x window, z1 intermediates, and f32 accumulators
@@ -314,7 +449,6 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _fused_enabled() -> bool:
-    import os
     return os.environ.get("P2M_FUSED", "1") == "1"  # A/B kill-switch
 
 

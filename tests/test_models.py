@@ -149,3 +149,51 @@ def test_bn_folding_matches_eval(art):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(ref_mesh),
                                rtol=1e-3, atol=1e-4)
+
+
+def _grid_faces(w: int, h: int) -> np.ndarray:
+    """Long thin triangulated strip: RCM bandwidth ~2w << 128, so every
+    band level is strict block-tridiagonal (band_k == 1) and the flat
+    deploy pipeline (fused Pallas kernels) engages even on tiny CPU tests."""
+    idx = lambda r, c: r * w + c
+    faces = []
+    for r in range(h - 1):
+        for c in range(w - 1):
+            faces.append((idx(r, c), idx(r, c + 1), idx(r + 1, c)))
+            faces.append((idx(r, c + 1), idx(r + 1, c + 1), idx(r + 1, c)))
+    return np.asarray(faces, np.int32)
+
+
+def test_flat_deploy_path_matches_3d():
+    """The inference flat pipeline (2-D layout, fused skips, out_3d last
+    conv, pack-time row padding) must reproduce the 3-D path exactly."""
+    from pose2mesh_release_tpu.models.fold import fold_bn_variables
+
+    J = 7
+    skel = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
+    faces = _grid_faces(6, 260)  # V = 1560
+    pyr = build_pyramid(faces, joint_num=J, skeleton=skel, levels=4)
+    art = pack_pyramid(pyr, faces, dense_threshold=100)
+    band_ops = [op for op in art.mesh_ops if op.kind == "band"]
+    assert band_ops, "expected band levels"
+    assert all(op.band_k == 1 for op in band_ops)
+    # pack-time padding: tile counts multiples of 4 (when > 4)
+    for op in band_ops:
+        nt = op.band_val.shape[1]
+        assert nt <= 4 or nt % 4 == 0
+        assert op.padded_vertices == nt * op.block_size
+
+    # covers: flat entry straight after the FC (no gather), interp-proj
+    # skip with padded lanes (16->32), identity add skip (32->32),
+    # interp-proj skip (32->16), padded up-gathers, out_3d final conv
+    blocks = ((5, 16, 16), (16, 32), (32, 32), (32, 16), (16, 8, 3))
+    net = MeshNet(blocks=blocks)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, J, 5)), jnp.float32)
+    v = jax.jit(net.init, static_argnums=3)(jax.random.PRNGKey(0), art, x, False)
+    y3d = extract_mesh(art, net.apply(v, art, x, False))
+
+    netf = MeshNet(blocks=blocks, inference_fused=True)
+    yf = extract_mesh(art, netf.apply(fold_bn_variables(v), art, x, False))
+    np.testing.assert_allclose(np.asarray(y3d), np.asarray(yf),
+                               rtol=1e-4, atol=1e-5)
