@@ -39,8 +39,13 @@ def mesh_adjacency(faces: np.ndarray, num_vertices: int) -> sp.csr_matrix:
     ones = np.ones(len(src), dtype=np.float64)
     A = sp.coo_matrix((ones, (src, dst)), shape=(num_vertices, num_vertices))
     A = A.tocsr()
-    A.data[:] = 1.0  # collapse duplicates
-    A = A.maximum(A.T)  # symmetrize
+    # Duplicate directed edges (an edge shared by k faces in the same
+    # orientation) collapse to count-1 when count > 1 — the reference's
+    # `adj - (adj > 1) * 1.0` (graph_utils.py:52).  For manifold meshes this
+    # is simply 1 everywhere; we keep the exact rule so pyramids built from
+    # arbitrary meshes match the reference bit-for-bit.
+    A.data = np.where(A.data > 1.0, A.data - 1.0, A.data)
+    A = A.maximum(A.T)  # symmetrize: max(adj, adj.T), graph_utils.py:55
     A.setdiag(0)
     A.eliminate_zeros()
     return A
@@ -102,6 +107,7 @@ def build_pyramid(
     flip_pairs: Sequence[Tuple[int, int]] = (),
     levels: int = 9,
     extra_joint_edges: Sequence[Tuple[int, int]] = (),
+    hem_impl: str = "reference",
 ) -> GraphPyramid:
     """Build the full coarsening pyramid for a mesh + joint set.
 
@@ -109,10 +115,14 @@ def build_pyramid(
     meshnet's `del graph_L[-2]`: of the `levels+1` coarsened graphs we keep
     mesh levels 0..levels-2 (SMPL levels=9: sizes 12288..96) and replace the
     rest with the joint graph.
+
+    hem_impl="reference" (default) reproduces the reference coarsener exactly,
+    which is required for published-checkpoint compatibility (SMPL finest
+    level = 12288 rows); "clean" uses the re-derived textbook HEM.
     """
     num_vertices = int(np.asarray(faces).max()) + 1
     A = mesh_adjacency(faces, num_vertices)
-    res: CoarseningResult = coarsen(A, levels)
+    res: CoarseningResult = coarsen(A, levels, impl=hem_impl)
 
     # Used mesh levels: 0 .. levels-2 inclusive (drop the two coarsest).
     used = levels - 1

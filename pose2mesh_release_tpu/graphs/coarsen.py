@@ -4,13 +4,31 @@ Builds the mesh-coarsening pyramid consumed by the TPU compute path. This is
 an *offline* artifact pipeline: it runs once per (mesh, joint-set, levels)
 configuration and everything downstream treats its outputs as constants.
 
-Reference semantics: /root/reference/lib/coarsening.py:43-258 (Graclus
-heavy-edge matching with degree-sorted visit order, binary-tree vertex
-permutation with fake-node padding). Re-derived here from the algorithm, not
-translated: the matcher is a clean Graclus HEM whose pair score for a
-candidate edge (i, j) is (2*W_ij + W_ii + W_jj) / (d_i + d_j + eps) with
-W_ii/W_jj the *diagonal* (self-loop) weights.  For the binary 0/1 mesh
-adjacencies used by Pose2Mesh this is identical to the reference's scoring.
+Two matcher implementations are provided:
+
+* ``impl="reference"`` (default) reproduces the reference coarsening
+  (/root/reference/lib/coarsening.py:67-211) *behaviorally exactly*,
+  including its quirks, because the published pretrained checkpoints were
+  trained on the pyramid those quirks produce (SMPL: 24 coarse vertices →
+  12288 padded finest rows; a cleaned-up HEM yields 15 → 7680 and the
+  checkpoints cannot load).  Preserved quirks:
+
+  - the pair score's "W_ii"/"W_jj" are the FIRST stored entry of each row
+    (lowest column index), not the diagonal (coarsening.py:192-194:
+    ``Wii = vv[rowstart[tid]]``);
+  - visit order is a *default-kind* (introsort, unstable) ``np.argsort`` of
+    the column sums INCLUDING self-loops (coarsening.py:92-93,146-147),
+    while the score's degree weights EXCLUDE self-loops at the finest level
+    only (coarsening.py:96 vs :139);
+  - edges are enumerated via ``scipy.sparse.find`` with a swap-to-row-sorted
+    fixup (coarsening.py:111-121), so within a row neighbors are scanned in
+    ascending column order and ties go to the lowest column;
+  - ``tval > wmax`` with ``wmax`` starting at 0.0 — a marked neighbor
+    (score forced to 0) can never be chosen.
+
+* ``impl="clean"`` is the re-derived textbook Graclus HEM (diagonal W_ii,
+  stable visit order) — better-conditioned pyramids for training new models
+  from scratch inside this framework.
 """
 from __future__ import annotations
 
@@ -26,6 +44,7 @@ __all__ = [
     "rescale_laplacian",
     "heavy_edge_matching",
     "hem_pyramid",
+    "hem_pyramid_reference",
     "tree_permutation",
     "invert_permutation",
     "permute_adjacency",
@@ -152,6 +171,118 @@ def hem_pyramid(W: sp.spmatrix, levels: int):
     return graphs, parents
 
 
+def _match_level_reference(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    visit_order: np.ndarray,
+    weights: np.ndarray,
+) -> np.ndarray:
+    """One greedy matching pass with the reference's exact tie/score behavior.
+
+    `rows` must be sorted ascending (row-major edge list, the canonical
+    ``scipy.sparse.find`` order of a CSR matrix) and every vertex must own at
+    least one stored entry — true for contracted mesh graphs, where matched
+    pairs leave self-loops and singletons keep their cut edges.  The
+    reference (lib/coarsening.py:153-211) rebuilds row offsets with a
+    sequential counter under the same assumption.
+
+    Quirks preserved (see module docstring): the score's "W_ii"/"W_jj" are
+    each row's FIRST stored value, neighbors are scanned in storage order
+    with strict `>` so the first maximum wins, and marked neighbors are
+    skipped (score 0 can never exceed the 0.0 floor).
+    """
+    nnz = rows.shape[0]
+    n = int(rows[-1]) + 1
+    # First-entry offset of each row in the row-sorted edge list.
+    first = np.concatenate([[0], np.flatnonzero(np.diff(rows)) + 1])
+    if first.shape[0] != n:
+        raise ValueError("reference HEM requires every vertex to have edges")
+    count = np.diff(np.concatenate([first, [nnz]]))
+    # The reference's sequential row-length counter (coarsening.py:166-171)
+    # increments BEFORE testing for a row change, so every row's first entry
+    # is attributed to the previous row.  Net scan lengths: row 0 reads one
+    # entry past its row (row 1's first stored neighbor), the last row never
+    # reads its final stored neighbor, middle rows are unaffected.  Matching
+    # decisions for vertices 0 and n-1 depend on this, so we keep it.
+    scan = count.copy()
+    if n > 1:
+        scan[0] += 1
+        scan[-1] -= 1
+
+    marked = np.zeros(n, dtype=bool)
+    cluster = np.zeros(n, dtype=np.int32)
+    n_clusters = 0
+    for tid in visit_order:
+        if marked[tid]:
+            continue
+        marked[tid] = True
+        rs = first[tid]
+        w_ii = vals[rs]  # the reference's "W_ii": first stored entry, NOT diag
+        d_i = weights[tid]
+        best = 0.0
+        best_nb = -1
+        for p in range(rs, rs + scan[tid]):
+            nid = cols[p]
+            if marked[nid]:
+                continue
+            # Same fp evaluation order as coarsening.py:192-197 so near-tie
+            # comparisons resolve identically.
+            score = (2.0 * vals[p] + w_ii + vals[first[nid]]) * 1.0 / (
+                d_i + weights[nid] + 1e-9
+            )
+            if score > best:
+                best = score
+                best_nb = nid
+        cluster[tid] = n_clusters
+        if best_nb > -1:
+            cluster[best_nb] = n_clusters
+            marked[best_nb] = True
+        n_clusters += 1
+    return cluster
+
+
+def hem_pyramid_reference(W: sp.spmatrix, levels: int):
+    """Repeated HEM coarsening, bit-compatible with the reference pipeline.
+
+    Returns (graphs, parents) exactly like :func:`hem_pyramid`, but every
+    behavioral quirk of /root/reference/lib/coarsening.py:67-149 is
+    reproduced so the resulting pyramid (and hence the shapes of every
+    published pretrained checkpoint) is identical:
+
+    - visit order: default-kind ``np.argsort`` of column sums incl.
+      self-loops, recomputed per level;
+    - score weights: column sums EXCLUDING the diagonal at the finest level,
+      INCLUDING it at every coarser level;
+    - edge enumeration via ``scipy.sparse.find`` (row-major canonical order),
+      transposing if rows come back unsorted — a no-op for symmetric W;
+    - contraction by relabeling the same edge list, duplicates summed by
+      CSR construction in the same order.
+    """
+    W = sp.csr_matrix(W)
+    graphs: List[sp.csr_matrix] = [W]
+    parents: List[np.ndarray] = []
+    weights = np.asarray(W.sum(axis=0)).ravel() - W.diagonal()
+    for _ in range(levels):
+        visit_order = np.argsort(np.asarray(W.sum(axis=0)).ravel())
+        rows, cols, vals = sp.find(W)
+        if np.any(np.diff(rows) < 0):  # keep rows sorted, as the matcher needs
+            rows, cols = cols, rows
+        cluster = _match_level_reference(rows, cols, vals, visit_order, weights)
+        parents.append(cluster)
+
+        n_new = int(cluster.max()) + 1
+        W = sp.csr_matrix(
+            (vals, (cluster[rows], cluster[cols])), shape=(n_new, n_new)
+        )
+        W.eliminate_zeros()
+        graphs.append(W)
+        # Coarse levels: score weights now INCLUDE self-loops (the contracted
+        # intra-cluster weight), mirroring lib/coarsening.py:139.
+        weights = np.asarray(W.sum(axis=0)).ravel()
+    return graphs, parents
+
+
 def tree_permutation(parents: List[np.ndarray]) -> List[np.ndarray]:
     """Vertex orderings making every parent's children {2i, 2i+1}.
 
@@ -237,14 +368,23 @@ class CoarseningResult:
     parents: List[np.ndarray] = field(default_factory=list)
 
 
-def coarsen(A: sp.spmatrix, levels: int) -> CoarseningResult:
+def coarsen(A: sp.spmatrix, levels: int, impl: str = "reference") -> CoarseningResult:
     """Full pipeline: HEM pyramid + tree ordering + per-level Laplacians.
 
     Reference: lib/coarsening.py:43-64.  Level k has
     ``M_coarsest * 2**(levels-k)`` vertices after fake-node padding; data at
     fake vertices is zero-initialized and they are isolated in the graph.
+
+    impl: "reference" reproduces the reference matcher exactly (required for
+    loading published checkpoints — SMPL coarsens to 24, padding the finest
+    level to 12288); "clean" is the textbook HEM (see module docstring).
     """
-    graphs, parents = hem_pyramid(A, levels)
+    if impl == "reference":
+        graphs, parents = hem_pyramid_reference(A, levels)
+    elif impl == "clean":
+        graphs, parents = hem_pyramid(A, levels)
+    else:
+        raise ValueError(f"unknown HEM impl: {impl!r}")
     orders = tree_permutation(parents)
     res = CoarseningResult(parents=parents, orders=orders)
     for k, G in enumerate(graphs):
