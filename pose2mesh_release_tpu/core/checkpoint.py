@@ -61,13 +61,14 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     best_epoch, best_path = -1, None
     for name in os.listdir(ckpt_dir):
-        if name.startswith("checkpoint") and name.endswith(".ckpt"):
-            try:
-                ep = int(name[len("checkpoint"):-len(".ckpt")])
-            except ValueError:
-                continue
-            if ep > best_epoch:
-                best_epoch, best_path = ep, osp.join(ckpt_dir, name)
+        for suffix in (".ckpt", ".pth.tar"):  # native + reference formats
+            if name.startswith("checkpoint") and name.endswith(suffix):
+                try:
+                    ep = int(name[len("checkpoint"):-len(suffix)])
+                except ValueError:
+                    continue
+                if ep > best_epoch:
+                    best_epoch, best_path = ep, osp.join(ckpt_dir, name)
     return best_path
 
 
@@ -81,15 +82,31 @@ def load_checkpoint(
     typed pytrees, otherwise raw state dicts are returned.
 
     pick_best: prefer best.ckpt from a directory (the posenet-pretrained
-    load path, lib/core/base.py:69)."""
+    load path, lib/core/base.py:69).
+
+    Reference-format interop: a `.pth.tar`/`.pth` path (the reference's
+    published checkpoints, lib/funcs_utils.py:122-128) is converted on the
+    fly via parity.convert — the engine and CLIs accept the reference's
+    YAML paths unchanged."""
     path = path_or_dir
     if osp.isdir(path_or_dir):
-        candidate = osp.join(path_or_dir, "best.ckpt" if pick_best else "final.ckpt")
-        path = candidate if osp.exists(candidate) else latest_checkpoint(path_or_dir)
+        stem = "best" if pick_best else "final"
+        for name in (f"{stem}.ckpt", f"{stem}.pth.tar"):
+            candidate = osp.join(path_or_dir, name)
+            if osp.exists(candidate):
+                path = candidate
+                break
+        else:
+            path = latest_checkpoint(path_or_dir)
         if path is None:
             raise FileNotFoundError(f"no checkpoints in {path_or_dir}")
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    if path.endswith((".pth.tar", ".pth")):
+        from ..parity.convert import load_torch_payload
+
+        payload = load_torch_payload(path)
+    else:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     if target_state is not None:
         payload["state"] = serialization.from_state_dict(
             target_state, payload["state"]

@@ -191,7 +191,8 @@ class MeshNet(nn.Module):
         x = jnp.swapaxes(x, 0, 1)  # (J, B, C_in): vertex-major throughout
 
         def _flat_ok(op: LevelOperator) -> bool:
-            return op.kind != "band" or (op.band_k == 1 and op.block_size == 128)
+            return op.kind != "band" or (1 <= op.band_k <= 2
+                                         and op.block_size == 128)
 
         # deploy fast path: band levels stay in the flat 2-D (Vp, B*Fp)
         # layout end-to-end — no (V, B, F) <-> (V, B*F) re-tiling, no

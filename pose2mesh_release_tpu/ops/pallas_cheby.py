@@ -20,8 +20,9 @@ the Laplacian blocks are not formed (the graph is a frozen artifact).
 The full Chebyshev conv (`fused_cheby_project`) composes two hops with the
 basis-split projection y = x@W0 + z1@W1 + z2@W2 + b — the elementwise
 2*hop(z1) - x and the bias fuse into neighbors under XLA, so only the hops
-need a kernel.  Falls back to the XLA path off-TPU-layout (band_k != 1) or
-on non-3D inputs.
+need a kernel.  All kernels are parametric in the block-bandwidth
+band_k ∈ {1, 2} (the window sizes grow to m+4k x-tiles / m+2k band rows);
+wider bands or non-3D inputs fall back to the XLA path.
 """
 from __future__ import annotations
 
@@ -45,7 +46,9 @@ def _interpret() -> bool:
 
 
 def pallas_supported(op: LevelOperator, x: jax.Array) -> bool:
-    return op.kind == "band" and op.band_k == 1 and x.ndim == 3
+    # band_k in {1, 2}: kernels are parametric in the block-bandwidth (the
+    # reference-exact pyramid's RCM order needs k=2 on two SMPL levels)
+    return op.kind == "band" and 1 <= op.band_k <= 2 and x.ndim == 3
 
 
 def _col_chunk(C: int, target: int = 4096) -> int:
@@ -58,16 +61,22 @@ def _col_chunk(C: int, target: int = 4096) -> int:
     return best or C
 
 
-def _hop_kernel(band_ref, xm_ref, xc_ref, xp_ref, out_ref):
-    acc = jnp.dot(band_ref[0, 0], xm_ref[:], preferred_element_type=jnp.float32)
-    acc += jnp.dot(band_ref[1, 0], xc_ref[:], preferred_element_type=jnp.float32)
-    acc += jnp.dot(band_ref[2, 0], xp_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = acc.astype(out_ref.dtype)
+def _hop_kernel_factory(nbd):
+    def kernel(*refs):
+        band_ref, x_refs, out_ref = refs[0], refs[1:1 + nbd], refs[-1]
+        acc = jnp.dot(band_ref[0, 0], x_refs[0][:],
+                      preferred_element_type=jnp.float32)
+        for d in range(1, nbd):
+            acc += jnp.dot(band_ref[d, 0], x_refs[d][:],
+                           preferred_element_type=jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
+    return kernel
 
 
 def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
-    """band_val (3, nt, T, T); x (V, B, F); returns L @ x, same shape."""
-    nt = band_val.shape[1]
+    """band_val (2k+1, nt, T, T); x (V, B, F); returns L @ x, same shape."""
+    nbd, nt = band_val.shape[0], band_val.shape[1]
+    k = nbd // 2
     V, B, F = x.shape
     Vp = nt * T
     x2 = x.reshape(V, B * F)
@@ -85,18 +94,17 @@ def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
         )
 
     out = pl.pallas_call(
-        _hop_kernel,
+        _hop_kernel_factory(nbd),
         grid=(ncc, nt),
         in_specs=[
-            pl.BlockSpec((3, 1, T, T), lambda c, t: (0, t, 0, 0),
+            pl.BlockSpec((nbd, 1, T, T), lambda c, t: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            xspec(-1), xspec(0), xspec(1),
-        ],
+        ] + [xspec(s) for s in range(-k, k + 1)],
         out_specs=pl.BlockSpec((T, TC), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, C), x.dtype),
         interpret=_interpret(),
-    )(band_val.astype(x.dtype), x2, x2, x2)
+    )(band_val.astype(x.dtype), *([x2] * nbd))
     return out[:V].reshape(V, B, F)
 
 
@@ -143,12 +151,13 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
 # these only when F and Fout are lane-aligned (multiples of 128), so other
 # channel shapes take the two-hop + XLA-projection path.
 
-def _fused_kernel_factory(T, BC, F, Fout, m, relu=False,
+def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
                           skip_mode=None, Fs=0, out_3d=False):
-    """m output row-tiles per program.  Window layout per program (grid
-    index t): x refs cover tiles t*m + [-2 .. m+1] (m+4 refs), band refs
-    cover rows t*m + [-1 .. m] (m+2 refs).  Clamped out-of-range windows
-    only ever multiply all-zero boundary band blocks, so no masking.
+    """m output row-tiles per program, block-bandwidth k.  Window layout per
+    program (grid index t): x refs cover tiles t*m + [-2k .. m-1+2k]
+    (m+4k refs), band refs cover rows t*m + [-k .. m-1+k] (m+2k refs).
+    Clamped out-of-range windows only ever multiply all-zero boundary band
+    blocks, so no masking.
 
     Optional fused residual epilogue (the reference's per-block skip,
     meshnet.py:109-115) applied AFTER the activation:
@@ -158,26 +167,32 @@ def _fused_kernel_factory(T, BC, F, Fout, m, relu=False,
         a separate full-tensor pass.
     out_3d writes (T, BC, Fout) blocks of a (Vp, B, Fout) output (used by
     the network's last conv so no flat->3D retiling pass is needed)."""
+    nbd = 2 * k + 1
+    n_band = m + 2 * k
+    n_x = m + 4 * k
 
     def kernel(*refs):
-        band_refs = refs[:m + 2]
-        x_refs = refs[m + 2:2 * m + 6]
-        rest = list(refs[2 * m + 6:])
+        band_refs = refs[:n_band]
+        x_refs = refs[n_band:n_band + n_x]
+        rest = list(refs[n_band + n_x:])
         skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
         w_ref, bias_ref = rest[0], rest[1]
         skip_w_ref = rest[2] if skip_mode == "proj" else None
         out_ref = rest[-1]
-        xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2
+        xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
         dt = out_ref.dtype
 
         def hop(br, base):
+            # br row a multiplies x tiles a-k .. a+k; xs[base] = tile a-k
             acc = jnp.dot(br[0, 0], xs[base], preferred_element_type=jnp.float32)
-            acc += jnp.dot(br[1, 0], xs[base + 1], preferred_element_type=jnp.float32)
-            acc += jnp.dot(br[2, 0], xs[base + 2], preferred_element_type=jnp.float32)
+            for d in range(1, nbd):
+                acc += jnp.dot(br[d, 0], xs[base + d],
+                               preferred_element_type=jnp.float32)
             return acc
 
-        # z1 for tiles t*m + k, k in [-1 .. m]; z1[k+1] uses x window k-1..k+1
-        z1 = [hop(band_refs[k + 1], k + 1).astype(dt) for k in range(-1, m + 1)]
+        # z1 for tiles t*m + a, a in [-k .. m-1+k]; list index a + k
+        z1 = [hop(band_refs[a + k], a + k).astype(dt)
+              for a in range(-k, m + k)]
 
         def proj(z, i):
             z = z.reshape(T, BC, F).reshape(T * BC, F)
@@ -185,14 +200,13 @@ def _fused_kernel_factory(T, BC, F, Fout, m, relu=False,
                            preferred_element_type=jnp.float32)
 
         for j in range(m):
-            br = band_refs[j + 1]  # central band row for output tile j
-            z2 = (
-                2.0 * (jnp.dot(br[0, 0], z1[j], preferred_element_type=jnp.float32)
-                       + jnp.dot(br[1, 0], z1[j + 1], preferred_element_type=jnp.float32)
-                       + jnp.dot(br[2, 0], z1[j + 2], preferred_element_type=jnp.float32))
-                - xs[j + 2].astype(jnp.float32)
-            ).astype(dt)
-            acc = proj(xs[j + 2], 0) + proj(z1[j + 1], 1) + proj(z2, 2)
+            br = band_refs[j + k]  # central band row for output tile j
+            acc2 = jnp.dot(br[0, 0], z1[j], preferred_element_type=jnp.float32)
+            for d in range(1, nbd):
+                acc2 += jnp.dot(br[d, 0], z1[j + d],
+                                preferred_element_type=jnp.float32)
+            z2 = (2.0 * acc2 - xs[j + 2 * k].astype(jnp.float32)).astype(dt)
+            acc = proj(xs[j + 2 * k], 0) + proj(z1[j + k], 1) + proj(z2, 2)
             acc += bias_ref[0][None, :].astype(jnp.float32)
             if relu:  # deploy-mode: BN folded into W/b, activation in-kernel
                 acc = jnp.maximum(acc, 0.0)
@@ -249,7 +263,8 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
     """
     T = op.block_size
     band_val = op.band_val
-    nt = band_val.shape[1]
+    nbd, nt = band_val.shape[0], band_val.shape[1]
+    k = nbd // 2
     Vp, C = x2.shape
     assert Vp == nt * T, (Vp, nt, T)
     F = C // batch
@@ -265,7 +280,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
 
     def bspec(shift):
         return pl.BlockSpec(
-            (3, 1, T, T),
+            (nbd, 1, T, T),
             lambda c, t: (0, jnp.clip(t * m + shift, 0, nt - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
@@ -276,10 +291,10 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
             memory_space=pltpu.VMEM)
 
     band_in = band_val.astype(x2.dtype)
-    in_specs = [bspec(k) for k in range(-1, m + 1)]
-    operands = [band_in] * (m + 2)
-    in_specs += [xspec(i) for i in range(-2, m + 2)]
-    operands += [x2] * (m + 4)
+    in_specs = [bspec(s) for s in range(-k, m + k)]
+    operands = [band_in] * (m + 2 * k)
+    in_specs += [xspec(i) for i in range(-2 * k, m + 2 * k)]
+    operands += [x2] * (m + 4 * k)
 
     skip_mode = None
     Fs = 0
@@ -316,7 +331,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
         out_shape = jax.ShapeDtypeStruct((Vp, batch * Fout), x2.dtype)
 
     return pl.pallas_call(
-        _fused_kernel_factory(T, BC, F, Fout, m, relu,
+        _fused_kernel_factory(T, BC, F, Fout, m, k, relu,
                               skip_mode=skip_mode, Fs=Fs, out_3d=out_3d),
         grid=(ncc, nt // m),
         in_specs=in_specs,
@@ -330,7 +345,8 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
 
 
 def _fused_call(band_val, x, W, b, T, relu=False):
-    nt = band_val.shape[1]
+    nbd, nt = band_val.shape[0], band_val.shape[1]
+    k = nbd // 2
     V, B, F = x.shape
     Fout = W.shape[1]
     # m output row-tiles per program: the (m+4)/m halo read amplification
@@ -356,7 +372,7 @@ def _fused_call(band_val, x, W, b, T, relu=False):
 
     def bspec(shift):
         return pl.BlockSpec(
-            (3, 1, T, T),
+            (nbd, 1, T, T),
             lambda c, t: (0, jnp.clip(t * m + shift, 0, nt_pad - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
@@ -366,12 +382,12 @@ def _fused_call(band_val, x, W, b, T, relu=False):
             lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), c),
             memory_space=pltpu.VMEM)
 
-    band_specs = [bspec(k) for k in range(-1, m + 1)]        # m+2
-    x_specs = [xspec(i) for i in range(-2, m + 2)]           # m+4
+    band_specs = [bspec(s) for s in range(-k, m + k)]        # m+2k
+    x_specs = [xspec(i) for i in range(-2 * k, m + 2 * k)]   # m+4k
     band_in = band.astype(x.dtype)
 
     out = pl.pallas_call(
-        _fused_kernel_factory(T, BC, F, Fout, m, relu),
+        _fused_kernel_factory(T, BC, F, Fout, m, k, relu),
         grid=(ncc, nt_pad // m),
         in_specs=band_specs + x_specs + [
             pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
@@ -386,7 +402,7 @@ def _fused_call(band_val, x, W, b, T, relu=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(*([band_in] * (m + 2) + [x2] * (m + 4)
+    )(*([band_in] * (m + 2 * k) + [x2] * (m + 4 * k)
         + [W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype)]))
     return out[:V].reshape(V, B, Fout)
 
@@ -491,9 +507,11 @@ def fused_cheby_project(
     else:
         z1 = spmm(op, x)
         z2 = 2.0 * spmm(op, z1) - x
+    # fp32 accumulation on the XLA fallback too (the Pallas kernels
+    # accumulate in f32; bf16 activations must not lose the projection sum)
     y = (
-        jnp.einsum("...f,fg->...g", x, W[:F], preferred_element_type=x.dtype)
-        + jnp.einsum("...f,fg->...g", z1, W[F:2 * F], preferred_element_type=x.dtype)
-        + jnp.einsum("...f,fg->...g", z2, W[2 * F:], preferred_element_type=x.dtype)
+        jnp.einsum("...f,fg->...g", x, W[:F], preferred_element_type=jnp.float32)
+        + jnp.einsum("...f,fg->...g", z1, W[F:2 * F], preferred_element_type=jnp.float32)
+        + jnp.einsum("...f,fg->...g", z2, W[2 * F:], preferred_element_type=jnp.float32)
     )
-    return y + b
+    return (y + b).astype(x.dtype)

@@ -34,8 +34,11 @@ __all__ = ["spmm", "spmm_dense", "spmm_band", "spmm_bcsr", "spmm_ell"]
 def spmm_dense(op: LevelOperator, x: jax.Array) -> jax.Array:
     shape = x.shape
     x2 = x.reshape(shape[0], -1)
-    y = jnp.dot(op.dense.astype(x.dtype), x2, preferred_element_type=x.dtype)
-    return y.reshape(shape)
+    # accumulate in f32 even for bf16 activations (matches the Pallas
+    # kernels' f32 accumulators; README "fp32 accumulation" contract)
+    y = jnp.dot(op.dense.astype(x.dtype), x2,
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype).reshape(shape)
 
 
 def spmm_band(op: LevelOperator, x: jax.Array) -> jax.Array:
@@ -56,10 +59,10 @@ def spmm_band(op: LevelOperator, x: jax.Array) -> jax.Array:
         xs = jax.lax.slice_in_dim(xp, d, d + nt, axis=0)
         term = jnp.einsum(
             "tpq,tqc->tpc", op.band_val[d].astype(x.dtype), xs,
-            preferred_element_type=x.dtype,
+            preferred_element_type=jnp.float32,
         )
         y = term if y is None else y + term
-    y = y.reshape(nt * T, C)
+    y = y.astype(x.dtype).reshape(nt * T, C)
     if nt * T != V:
         y = y[:V]
     return y.reshape(shape)
@@ -80,9 +83,9 @@ def spmm_bcsr(op: LevelOperator, x: jax.Array) -> jax.Array:
     gathered = gathered.reshape(nt, maxb, T, C)
     y = jnp.einsum(
         "nbpq,nbqc->npc", op.blk_val.astype(x.dtype), gathered,
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
-    y = y.reshape(nt * T, C)
+    y = y.astype(x.dtype).reshape(nt * T, C)
     if nt * T != V:
         y = y[:V]
     return y.reshape(shape)
@@ -94,8 +97,9 @@ def spmm_ell(op: LevelOperator, x: jax.Array) -> jax.Array:
     x2 = x.reshape(shape[0], -1)
     nbrs = jnp.take(x2, op.ell_idx.reshape(-1), axis=0, mode="clip")
     nbrs = nbrs.reshape(op.ell_idx.shape + (x2.shape[1],))
-    y = jnp.einsum("vdc,vd->vc", nbrs, op.ell_w.astype(x.dtype))
-    return y.reshape(shape)
+    y = jnp.einsum("vdc,vd->vc", nbrs, op.ell_w.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype).reshape(shape)
 
 
 def spmm(op: LevelOperator, x: jax.Array, *, strategy: str | None = None) -> jax.Array:

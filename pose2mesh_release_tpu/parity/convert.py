@@ -24,7 +24,7 @@ from typing import Any, Dict
 import numpy as np
 
 __all__ = ["convert_cascade_state_dict", "convert_posenet_state_dict",
-           "load_torch_checkpoint"]
+           "load_torch_checkpoint", "load_torch_payload"]
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
@@ -40,6 +40,51 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             k = k[len("module."):]
         out[k] = np.asarray(v.detach().cpu().numpy())
     return out
+
+
+def load_torch_payload(path: str) -> Dict[str, Any]:
+    """Load a reference .pth.tar and return it in this framework's checkpoint
+    payload form: {"epoch", "state": {"params", "batch_stats", "step"},
+    "train_log", "test_log"}.
+
+    Auto-detects the model family from the state-dict keys: a full cascade
+    checkpoint carries 'pose_lifter.' / 'pose2mesh.' prefixes
+    (lib/models/pose2mesh_net.py:13-14), a standalone PoseNet checkpoint the
+    bare 'w1.' / 'linear_stages.' names (lib/models/posenet.py:41-69).
+    Reference payload schema: lib/funcs_utils.py:111-119.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(blob, dict):
+        raise ValueError(f"unrecognized torch checkpoint: {path}")
+    sd_raw = blob.get("model_state_dict", blob)
+    sd = {}
+    for k, v in sd_raw.items():
+        if k.startswith("module."):  # DataParallel strip, funcs_utils.py:65-70
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy())
+
+    if any(k.startswith("pose_lifter.") or k.startswith("pose2mesh.") for k in sd):
+        variables = convert_cascade_state_dict(sd)
+    elif "w1.weight" in sd:
+        variables = convert_posenet_state_dict(sd)
+    else:
+        raise ValueError(
+            f"cannot identify reference model family in {path}: "
+            f"keys like {sorted(sd)[:4]}"
+        )
+    test_log = blob.get("test_log", {})
+    if not isinstance(test_log, dict):
+        test_log = {"joint": list(np.asarray(test_log).ravel())}
+    return {
+        "epoch": int(blob.get("epoch", 0)),
+        "state": {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"],
+                  "step": 0},
+        "train_log": list(np.asarray(blob.get("train_log", [])).ravel()),
+        "test_log": test_log,
+    }
 
 
 def _dense(sd, prefix):

@@ -1,0 +1,181 @@
+"""Reference-format checkpoint interop, verified against the ACTUAL
+reference model modules (not a hand-written mirror).
+
+Builds torch models from /root/reference/lib/models/{posenet,meshnet}.py via
+a cfg shim (the reference's core.config has import side effects and needs
+easydict, so we install stub modules), saves a real `.pth.tar`, loads it
+through core.checkpoint.load_checkpoint (which auto-converts), and asserts
+forward parity through this framework's cascade.  Covers VERDICT.md
+Missing #3 (runtime .pth.tar interop) and Weak #5 (parity vs the real
+reference modules).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from pose2mesh_release_tpu.body.synthetic import uv_sphere
+from pose2mesh_release_tpu.core.checkpoint import load_checkpoint
+from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+from pose2mesh_release_tpu.graphs.build import build_pyramid
+from pose2mesh_release_tpu.models.meshnet import MANO_BLOCKS, extract_mesh
+from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+from pose2mesh_release_tpu.models.posenet import PoseNet
+
+REF_LIB = "/root/reference/lib"
+J = 7
+SKEL = ((0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6))
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference model modules with shimmed core.config /
+    funcs_utils (easydict is not installed and the real config deletes
+    experiment dirs at import).  torch.Tensor.cuda is patched to a no-op so
+    meshnet's `.cuda()`-every-forward quirk runs on CPU."""
+    import os.path as osp
+
+    if not osp.isdir(REF_LIB):
+        pytest.skip("reference checkout not available")
+
+    ns = lambda **kw: types.SimpleNamespace(**kw)
+    cfg = ns(
+        DATASET=ns(target_joint_set="mano"),  # selects the 7-block schedule
+        MODEL=ns(posenet_pretrained=False, posenet_path=""),
+    )
+    core_mod = types.ModuleType("core")
+    core_config = types.ModuleType("core.config")
+    core_config.cfg = cfg
+    core_mod.config = core_config
+    funcs = types.ModuleType("funcs_utils")
+    funcs.load_checkpoint = lambda **kw: None
+    saved = {k: sys.modules.get(k) for k in
+             ("core", "core.config", "funcs_utils")}
+    sys.modules["core"] = core_mod
+    sys.modules["core.config"] = core_config
+    sys.modules["funcs_utils"] = funcs
+    sys.path.insert(0, REF_LIB)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    try:
+        import models.meshnet as ref_meshnet
+        import models.posenet as ref_posenet
+
+        yield ns(posenet=ref_posenet, meshnet=ref_meshnet, cfg=cfg)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        sys.path.remove(REF_LIB)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def pyramid():
+    _, faces = uv_sphere(770)
+    return build_pyramid(faces, joint_num=J, skeleton=SKEL, levels=6), faces
+
+
+def _ref_cascade(ref_models, pyramid):
+    """The reference cascade from the real modules: LinearModel + meshnet
+    Pose2Mesh composed with pose2mesh_net.py:16-22 semantics (small hidden
+    size to keep the test fast; FlatPose2Mesh hardcodes 4096)."""
+    pyr, _ = pyramid
+
+    import scipy.sparse as sp
+
+    # Reference ctor expects the *undeleted* Laplacian list (it deletes
+    # index -2 itself, meshnet.py:35); our pyramid has already dropped it,
+    # so splice in a placeholder that is deleted before any use.
+    placeholder = sp.identity(2, format="csr")
+    graph_L = list(pyr.mesh_laplacians) + [placeholder, pyr.joint_laplacian]
+
+    class RefFlat(torch.nn.Module):
+        def __init__(s):
+            super().__init__()
+            s.pose_lifter = ref_models.posenet.get_model(
+                J, hid_dim=64, num_layer=2, p_dropout=0.5)
+            s.pose2mesh = ref_models.meshnet.get_model(
+                num_joint_input_chan=5, num_mesh_output_chan=3,
+                graph_L=graph_L)
+
+        def forward(s, pose2d):  # pose2mesh_net.py:16-22
+            pose3d = s.pose_lifter(pose2d.view(len(pose2d), -1))
+            pose3d = pose3d.reshape(-1, J, 3)
+            combine = torch.cat((pose2d, pose3d.detach() / 1000), dim=2)
+            return s.pose2mesh(combine), pose3d
+
+    torch.manual_seed(0)
+    return RefFlat().eval()
+
+
+def test_pth_tar_cascade_load_and_parity(ref_models, pyramid, tmp_path):
+    pyr, faces = pyramid
+    ref = _ref_cascade(ref_models, pyramid)
+    torch.save(
+        {"model_state_dict": ref.state_dict(), "epoch": 3,
+         "train_log": [1.0, 0.5], "test_log": {"joint": [60.0, 55.0]}},
+        str(tmp_path / "final.pth.tar"),
+    )
+
+    # directory-mode load finds final.pth.tar and converts it
+    payload = load_checkpoint(str(tmp_path))
+    assert payload["epoch"] == 3
+    variables = {"params": payload["state"]["params"],
+                 "batch_stats": payload["state"]["batch_stats"]}
+
+    art = pack_pyramid(pyr, faces, ordering="tree", dense_threshold=10_000)
+    model = Pose2Mesh(num_joint=J, posenet_hidden=64, blocks=MANO_BLOCKS,
+                      use_pallas=False)
+    x = np.random.default_rng(0).standard_normal((2, J, 2)).astype(np.float32)
+
+    mesh_dev, pose3d = model.apply(variables, art, jnp.asarray(x), False)
+    ours_mesh = np.asarray(extract_mesh(art, mesh_dev))
+    with torch.no_grad():
+        t_mesh, t_pose = ref(torch.from_numpy(x))
+    t_mesh = t_mesh.numpy()[:, pyr.vertex_slot, :]
+
+    np.testing.assert_allclose(np.asarray(pose3d), t_pose.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours_mesh, t_mesh, rtol=1e-3, atol=2e-4)
+
+
+def test_pth_tar_posenet_load_and_parity(ref_models, tmp_path):
+    torch.manual_seed(1)
+    ref = ref_models.posenet.get_model(J, hid_dim=32, num_layer=2,
+                                       p_dropout=0.5).eval()
+    # simulate a DataParallel-saved lifter checkpoint (base.py:244 wrap)
+    sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+    torch.save({"model_state_dict": sd, "epoch": 60}, str(tmp_path / "best.pth.tar"))
+
+    payload = load_checkpoint(str(tmp_path), pick_best=True)
+    variables = {"params": payload["state"]["params"],
+                 "batch_stats": payload["state"]["batch_stats"]}
+    model = PoseNet(J, hidden=32)
+    x = np.random.default_rng(1).standard_normal((4, J * 2)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_trainer_load_posenet_pth_tar(ref_models, tmp_path):
+    """Trainer._load_posenet semantics: a reference posenet best.pth.tar
+    slots into the cascade's pose_lifter subtree (posenet.py:89-92)."""
+    torch.manual_seed(2)
+    ref = ref_models.posenet.get_model(J, hid_dim=32, num_layer=2,
+                                       p_dropout=0.5).eval()
+    torch.save({"model_state_dict": ref.state_dict()},
+               str(tmp_path / "best.pth.tar"))
+
+    raw = load_checkpoint(str(tmp_path), pick_best=True)["state"]
+    assert "Dense_0" in raw["params"] and "ResidualStage_0" in raw["params"]
+    # the engine splices this under params['pose_lifter'] — shape check
+    assert raw["params"]["Dense_0"]["kernel"].shape == (J * 2, 32)
