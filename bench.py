@@ -113,15 +113,52 @@ def measure_forward(model, art, variables, pose2d, *, device=None) -> float:
     return max(min(t_large) - min(t_small), 1e-9) / (large - small)
 
 
+def _roofline_report(art, batch_size):
+    """Per-band-level fused-conv cost model -> stderr table; returns the
+    summed speed-of-light estimate for the band convs (seconds)."""
+    from pose2mesh_release_tpu.models.meshnet import SMPL_BLOCKS
+    from pose2mesh_release_tpu.utils.profiling import fused_conv_roofline
+
+    n_mesh = len(art.mesh_ops)
+    total_ideal = 0.0
+    print("# roofline (fused conv model, v5e sustained 100TF/s bf16, "
+          "1.1TB/s):", file=sys.stderr)
+    for i, chans in enumerate(SMPL_BLOCKS):
+        if i == 0 or i == len(SMPL_BLOCKS) - 1:
+            op = art.mesh_ops[0] if i else art.joint_op
+        else:
+            op = art.mesh_ops[n_mesh - i]
+        if op.kind != "band":
+            continue
+        for li in range(len(chans) - 1):
+            fin, fout = chans[li], chans[li + 1]
+            pack = 128 // fin if (fin < 128 and 128 % fin == 0
+                                  and batch_size % (128 // fin) == 0) else 1
+            fl = 128 if pack > 1 else -(-fin // 128) * 128
+            fo = 128 // pack * pack if pack > 1 else -(-fout // 128) * 128
+            r = fused_conv_roofline(op, batch_size // pack, fl, fo,
+                                    m=8 if op.band_k >= 2 else 4)
+            total_ideal += r.ideal_us * 1e-6
+            print(f"#   V={op.num_vertices:5d} k={op.band_k} conv {fin:3d}->"
+                  f"{fout:3d}: ideal {r.ideal_us:7.1f} us ({r.bound}-bound, "
+                  f"{r.flops/1e9:.1f} GF)", file=sys.stderr)
+    print(f"#   band convs speed-of-light total: {total_ideal*1e3:.2f} ms",
+          file=sys.stderr)
+    return total_ideal
+
+
 def main():
     batch_size = 64
     t0 = time.time()
     model, art, variables, pose2d = build(batch_size)
     print(f"# setup {time.time()-t0:.1f}s; levels={art.level_sizes}", file=sys.stderr)
+    ideal_band = _roofline_report(art, batch_size)
 
     per_iter = measure_forward(model, art, variables, pose2d)
     meshes_per_sec = batch_size / per_iter
-    print(f"# forward {per_iter*1000:.2f} ms/batch{batch_size}", file=sys.stderr)
+    print(f"# forward {per_iter*1000:.2f} ms/batch{batch_size} "
+          f"(band-conv speed-of-light {ideal_band*1e3:.2f} ms; "
+          f"gap covers dense levels, gathers, PoseNet, fc)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "meshes_per_sec_per_chip",

@@ -63,8 +63,15 @@ class MANO:
         if self.params is None:
             self.params = load_mano_params(self.model_dir)
         if self.params is None:
-            self.params = synthetic_body_params(
-                num_vertices=MANO_VERTS, num_joints=16, seed=7, scale=0.1
+            import dataclasses as _dc
+
+            self.params = _dc.replace(
+                synthetic_body_params(
+                    num_vertices=MANO_VERTS, num_joints=16, seed=7, scale=0.1
+                ),
+                # the true MANO finger-chain tree (public topology; also
+                # hardcoded by the reference layer, manolayer.py:195-229)
+                parents=(0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14),
             )
         self.face = np.asarray(self.params.faces)
 

@@ -109,7 +109,7 @@ def run_person(model, variables, art, joint_img, regressor, input_shape,
         jnp.asarray(joints3d), jnp.asarray(target[:, :2].astype(np.float32)),
         num_steps=cam_steps, img_res=CROP_SIZE,
     ))
-    return mesh, joints3d, cam, trans
+    return mesh, joints3d, cam, bbox1
 
 
 def _nms_people(dets, joint_thr=0.1, box_iou_thr=0.6):
@@ -193,7 +193,7 @@ def main(argv=None):
             pelvis = 0.5 * (kp[11] + kp[12])
             neck = 0.5 * (kp[5] + kp[6])
             kp = np.concatenate([kp, pelvis[None], neck[None]])
-        mesh, joints3d, cam, trans = run_person(
+        mesh, joints3d, cam, fit_bbox = run_person(
             model, variables, art, kp, regressor,
             cfg.MODEL.input_shape, args.cam_steps,
         )
@@ -203,18 +203,18 @@ def main(argv=None):
                     js.skeleton,
                     out_path=osp.join(args.out_dir, f"person_{i}_pose2d.png"))
         if img is not None:
-            # render onto the square fit-crop (demo/run.py:24-43 maps the
-            # crop cam back to the full image; here the overlay uses the
-            # crop view directly)
-            from ..models.camera import cam_to_pixel_params
-            from .demo import CROP_SIZE as _CS
-            crop = np.zeros((_CS, _CS, 3), np.uint8)
+            # crop cam -> original-image pixel params, overlay on the input
+            # photo (demo/run.py:24-43 + render at :241)
+            from ..models.camera import crop_cam_to_orig_params
+            canvas = img if i == 0 else canvas  # accumulate multi-person
             over = render_mesh_overlay(
-                crop, mesh, np.asarray(mesh_model.face),
-                np.asarray(cam_to_pixel_params(cam, _CS)),
+                canvas, mesh, np.asarray(mesh_model.face),
+                np.asarray(crop_cam_to_orig_params(cam, fit_bbox)),
             )
+            canvas = over
             import matplotlib.image as mpimg
-            mpimg.imsave(osp.join(args.out_dir, f"person_{i}_render.png"), over)
+            mpimg.imsave(osp.join(args.out_dir, f"person_{i}_overlay.png"),
+                         over.astype(np.uint8))
         print(f"person {i}: mesh -> person_{i}.obj (cam s={cam[0]:.2f})")
     print(f"demo outputs in {args.out_dir}")
 

@@ -77,18 +77,65 @@ def build_datasets(cfg: Config, split: str, mesh_model, *, model_name: str,
 
 
 class _Base:
-    """Common: model/optimizer build + checkpoint plumbing."""
+    """Common: model/optimizer build + checkpoint plumbing + device mesh.
+
+    Multi-chip: cfg.TPU.data_axis x cfg.TPU.graph_axis builds a
+    ('data','graph') jax.sharding.Mesh and every Trainer/Tester runs the
+    SAME jitted step over it — batches shard on 'data', band-level row
+    tiles on 'graph', params/optimizer state replicated; GSPMD inserts the
+    gradient psums and vertex-halo collectives.  (The reference's analogue
+    is the nn.DataParallel wrap at lib/core/base.py:108.)  The default
+    1x1 mesh is plain single-device execution.
+    """
 
     def __init__(self, cfg: Config, *, debug: bool = False):
         self.cfg = cfg
         self.debug = debug
         self.device = jax.devices()[0]
         self.rng = jax.random.PRNGKey(cfg.seed or 0)
+        n_dev = cfg.TPU.data_axis * cfg.TPU.graph_axis
+        self.mesh = None
+        if n_dev > 1:
+            from ..parallel.mesh import make_mesh
+
+            devices = jax.devices()
+            if len(devices) < n_dev:
+                raise ValueError(
+                    f"cfg.TPU asks for {cfg.TPU.data_axis}x"
+                    f"{cfg.TPU.graph_axis} devices, only {len(devices)} visible"
+                )
+            self.mesh = make_mesh(devices[:n_dev],
+                                  graph_axis=cfg.TPU.graph_axis)
+
+    def _put_art(self, art):
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_artifact
+
+            return shard_artifact(self.mesh, art)
+        return jax.device_put(art, self.device)
+
+    def _put_state(self, state):
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_state
+
+            return shard_state(self.mesh, state)
+        return jax.device_put(state, self.device)
+
+    def _put_batch(self, batch):
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return jax.device_put(batch, self.device)
 
     def _build_cascade(self, joint_num: int, mano: bool):
         dtype = jnp.bfloat16 if self.cfg.TPU.compute_dtype == "bf16" else jnp.float32
+        # graph axis > 1: the model runs its band-level hops through the
+        # explicit ppermute halo path instead of implicit GSPMD all-gathers
+        spmd = self.mesh if (self.mesh is not None
+                             and self.cfg.TPU.graph_axis > 1) else None
         return Pose2Mesh(num_joint=joint_num, mano=mano, dtype=dtype,
-                         use_pallas=self.cfg.TPU.use_pallas)
+                         use_pallas=self.cfg.TPU.use_pallas, spmd_mesh=spmd)
 
 
 class Trainer(_Base):
@@ -144,8 +191,8 @@ class Trainer(_Base):
         self.test_log: List[float] = []
         if resume:
             self._resume()
-        self.art_dev = jax.device_put(self.art, self.device)
-        self.state = jax.device_put(self.state, self.device)
+        self.art_dev = self._put_art(self.art)
+        self.state = self._put_state(self.state)
         self.tester = Tester(cfg, debug=debug, dataset=test_dataset,
                              mesh_model=mesh_model, model=self.model)
 
@@ -191,7 +238,7 @@ class Trainer(_Base):
                 "reg_pose3d": targets["reg_pose3d"],
                 **{k: v for k, v in meta.items()},
             }
-            batch = jax.device_put(batch, self.device)
+            batch = self._put_batch(batch)
             self.state, loss = self._train_step(
                 self.state, self.art_dev, batch, lr, use_edge, rng
             )
@@ -218,7 +265,10 @@ class Trainer(_Base):
         for epoch in range(self.begin_epoch, cfg.TRAIN.end_epoch + 1):
             lr_override = plateau.lr if plateau is not None else None
             mean_loss = self.train_epoch(epoch, lr_override=lr_override)
-            err = self.tester.test(epoch, state=self.state, art=self.art_dev)
+            err = self.tester.test(
+                epoch, state=self.state, art=self.art_dev,
+                full_eval=epoch == cfg.TRAIN.end_epoch,
+            )
             if plateau is not None:
                 plateau.step(err.get("joint_err", mean_loss))
             mlog.log("epoch", epoch=epoch, train_loss=mean_loss, **err)
@@ -291,11 +341,16 @@ class Tester(_Base):
         state = state if state is not None else self.state
         assert state is not None, "no weights: pass state= or load_path="
         if art is None:
-            art = jax.device_put(ds.graph, self.device)
+            art = self._put_art(ds.graph)
 
         j_errs, v_errs = [], []
         meshes, target_meshes = [], []
-        collect = full_eval if full_eval is not None else True
+        # full dataset.evaluate() (which needs every predicted mesh in host
+        # memory) only at epoch 0 or when explicitly requested — the
+        # reference collects meshes only at epoch 0/end (lib/core/base.py:
+        # 217-222); intermediate epochs stream the running joint/vertex
+        # errors and keep memory flat
+        collect = full_eval if full_eval is not None else epoch == 0
         B = self.cfg.TEST.batch_size
         for inputs, targets, meta in self.loader:
             n = inputs["pose2d"].shape[0]
@@ -305,7 +360,8 @@ class Tester(_Base):
                 pose2d = np.concatenate(
                     [pose2d, np.repeat(pose2d[-1:], pad, 0)])
             mesh_mm, reg_pose, _ = self._eval_step(
-                state, art, jax.device_put(jnp.asarray(pose2d), self.device)
+                state, art,
+                self._put_batch({"pose2d": jnp.asarray(pose2d)})["pose2d"],
             )
             mesh_mm = np.asarray(mesh_mm[:n], np.float32)
             reg_pose = np.asarray(reg_pose[:n], np.float32)
@@ -323,10 +379,13 @@ class Tester(_Base):
         print(f"test epoch {epoch}: joint {out['joint_err']:.2f} mm, "
               f"mesh {out['mesh_err']:.2f} mm")
         if collect and meshes:
+            kwargs = {}
+            if self.cfg.TEST.vis:  # .obj dumps during eval (config.py TEST.vis)
+                kwargs["vis_dir"] = self.cfg.vis_dir
             res = ds.evaluate({
                 "mesh_coord": np.concatenate(meshes),
                 "mesh_coord_target": np.concatenate(target_meshes),
-            })
+            }, **kwargs)
             out.update(res)
         return out
 

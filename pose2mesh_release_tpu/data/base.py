@@ -340,10 +340,18 @@ class MeshDataset:
               f"PA-MPJPE {pampjpe:.2f} mm")
         return out
 
-    def evaluate(self, outs: Dict[str, np.ndarray]) -> Dict[str, float]:
-        """Mesh evaluation: regressed-joint MPJPE / PA-MPJPE + MPVPE."""
+    def evaluate(self, outs: Dict[str, np.ndarray],
+                 vis_dir: str = None) -> Dict[str, float]:
+        """Mesh evaluation: regressed-joint MPJPE / PA-MPJPE + MPVPE.
+
+        vis_dir: when set (cfg.TEST.vis), every 500th predicted mesh is
+        dumped as an .obj in meters — the reference's evaluation-time
+        visualization (Human36M/dataset.py:574-578, PW3D/dataset.py:377-381).
+        """
         pred_mesh = np.asarray(outs["mesh_coord"])          # (N, V, 3) mm
         gt_mesh = np.asarray(outs["mesh_coord_target"])     # (N, V, 3) mm
+        if vis_dir is not None:
+            self._dump_vis_objs(pred_mesh, vis_dir)
         reg = self.target_regressor()
         pred_j = np.einsum("jv,nvc->njc", reg, pred_mesh)
         gt_j = np.einsum("jv,nvc->njc", reg, gt_mesh)
@@ -362,6 +370,17 @@ class MeshDataset:
         print(f"{self.name} eval: MPJPE {mpjpe:.2f} mm, PA-MPJPE "
               f"{pampjpe:.2f} mm, MPVPE {mpvpe:.2f} mm")
         return out
+
+    def _dump_vis_objs(self, pred_mesh: np.ndarray, vis_dir: str,
+                       every: int = 500) -> None:
+        import os
+
+        from ..utils.io import save_obj
+
+        os.makedirs(vis_dir, exist_ok=True)
+        for n in range(0, len(pred_mesh), every):
+            save_obj(pred_mesh[n] / 1000.0, np.asarray(self.mesh_model.face),
+                     osp.join(vis_dir, f"{self.name.lower()}_{n}.obj"))
 
     def target_regressor(self) -> np.ndarray:
         m = self.mesh_model

@@ -144,7 +144,9 @@ class FreiHAND(MeshDataset):
         print(f"FreiHAND predictions saved to {out_path}")
         return {"saved": 1.0}
 
-    def evaluate(self, outs) -> Dict[str, float]:
+    def evaluate(self, outs, vis_dir=None) -> Dict[str, float]:
+        if vis_dir is not None:
+            self._dump_vis_objs(np.asarray(outs["mesh_coord"]), vis_dir)
         meshes = np.asarray(outs["mesh_coord"])
         reg = np.asarray(self.mesh_model.joint_regressor_mano)
         joints = np.einsum("jv,nvc->njc", reg, meshes)

@@ -128,6 +128,10 @@ class Human36M(MeshDataset):
                 "smpl_pose": np.array(smpl_param["pose"], np.float32).reshape(-1),
                 "smpl_shape": np.array(smpl_param["shape"], np.float32).reshape(-1),
                 "smpl_trans": np.array(smpl_param["trans"], np.float32).reshape(-1),
+                # the reference hardcodes 'neutral' (Human36M/dataset.py:217,
+                # per-subject genders commented out); honor an explicit
+                # gender field when the annotations carry one
+                "gender": smpl_param.get("gender", "neutral"),
             })
         datalist.sort(key=lambda x: x["img_name"])
 
@@ -152,14 +156,23 @@ class Human36M(MeshDataset):
         trans = np.stack([d["smpl_trans"] for d in self.datalist])
         R = np.stack([d["cam_param"]["R"] for d in self.datalist])
         t = np.stack([d["cam_param"]["t"] for d in self.datalist])
+        genders = np.array([d.get("gender", "neutral") for d in self.datalist])
 
-        params = self.mesh_model.layer("neutral")
+        # Per-gender batched LBS (reference: mesh_model.layer[gender],
+        # Human36M/dataset.py:254,278 — gender is 'neutral' for the shipped
+        # annotations but the per-sample field is honored when present).
+        mesh_mm = np.zeros((n, self.mesh_model.vertex_num, 3), np.float32)
+        for gender in np.unique(genders):
+            sel = np.flatnonzero(genders == gender)
+            params = self.mesh_model.layer(str(gender))
 
-        def fn(p, s, tr, R_, t_):
-            return posed_mesh_cam(params, p, s, tr, R_, t_)
+            def fn(p, s, tr, R_, t_, _params=params):
+                return posed_mesh_cam(_params, p, s, tr, R_, t_)
 
-        mesh_mm, _ = batched_gt(fn, (pose, shape, trans, R, t),
-                                batch=min(256, max(8, n)))
+            part, _ = batched_gt(
+                fn, (pose[sel], shape[sel], trans[sel], R[sel], t[sel]),
+                batch=min(256, max(8, len(sel))))
+            mesh_mm[sel] = part
         # Root-relative (reference __getitem__: mesh_cam -= joint_cam_h36m[:1])
         h36m_cam = np.stack([d["joint_cam"] for d in self.datalist])
         self.gt_mesh = (mesh_mm - h36m_cam[:, :1]).astype(np.float32)
@@ -235,8 +248,8 @@ class Human36M(MeshDataset):
         return np.concatenate([joints, pelvis[None], neck[None]])
 
     # --- evaluation (Human36M/dataset.py:514-617) --------------------------
-    def evaluate(self, outs) -> Dict[str, float]:
-        res = super().evaluate(outs)
+    def evaluate(self, outs, vis_dir=None) -> Dict[str, float]:
+        res = super().evaluate(outs, vis_dir=vis_dir)
         # per-action breakdown (img names embed 'act_NN')
         pred_mesh = np.asarray(outs["mesh_coord"])
         gt_mesh = np.asarray(outs["mesh_coord_target"])

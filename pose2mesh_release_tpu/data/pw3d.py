@@ -147,7 +147,10 @@ class PW3D(MeshDataset):
     def _augm_params(self):
         return 0, 0.0  # test-only dataset: no augmentation (dataset.py:212)
 
-    def evaluate(self, outs, smooth: bool = False) -> Dict[str, float]:
+    def evaluate(self, outs, smooth: bool = False,
+                 vis_dir=None) -> Dict[str, float]:
+        if vis_dir is not None:
+            self._dump_vis_objs(np.asarray(outs["mesh_coord"]), vis_dir)
         pred_mesh = np.asarray(outs["mesh_coord"])
         gt_mesh = np.asarray(outs["mesh_coord_target"])
         smpl_reg = np.asarray(self.mesh_model.joint_regressor_smpl)

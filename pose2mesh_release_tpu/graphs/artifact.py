@@ -177,15 +177,17 @@ def _pack_band(L: sp.csr_matrix, T: int) -> Tuple[np.ndarray, int]:
     L = sp.csr_matrix(L)
     V = L.shape[0]
     nt = _cdiv(V, T)
-    if nt > 4:
-        # round the tile count up to a multiple of the fused kernel's
-        # row-tile group (m=4) with all-zero blocks: feature maps can then
-        # live at nt*T rows through a whole level with zero runtime
-        # padding/slicing (ops.pallas_cheby)
-        nt = _cdiv(nt, 4) * 4
     coo = L.tocoo()
     bw = int(np.abs(coo.row // T - coo.col // T).max()) if coo.nnz else 0
     band_k = bw
+    # round the tile count up to a multiple of the fused kernel's row-tile
+    # group with all-zero blocks: feature maps can then live at nt*T rows
+    # through a whole level with zero runtime padding/slicing
+    # (ops.pallas_cheby).  Wider bands prefer larger groups (m=8) since the
+    # halo-recompute overhead (m+2k)/m is steeper at k=2.
+    group = 8 if band_k >= 2 else 4
+    if nt > group:
+        nt = _cdiv(nt, group) * group
     nbd = 2 * band_k + 1
     band_val = np.zeros((nbd, nt, T, T), dtype=np.float32)
     for r, c, v in zip(coo.row, coo.col, coo.data):
@@ -228,6 +230,38 @@ def _make_level_op(
     )
 
 
+def _min_bandwidth_order(adj: sp.csr_matrix, T: int) -> np.ndarray:
+    """Bandwidth-minimizing vertex order.
+
+    Plain RCM first; when its bandwidth exceeds one block row (T) — which
+    would push the banded kernels from band_k=1 to 2 — retry RCM from
+    different start vertices (via random relabelings; scipy exposes no seed)
+    and keep the narrowest result.  Deterministic."""
+    adj = sp.csr_matrix(adj)
+
+    def bw_of(order):
+        P = adj[order][:, order].tocoo()
+        return int(np.abs(P.row - P.col).max()) if P.nnz else 0
+
+    best = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
+                      dtype=np.int64)
+    best_bw = bw_of(best)
+    if best_bw > T:
+        rng = np.random.default_rng(0)
+        for _ in range(16):
+            relab = rng.permutation(adj.shape[0])
+            sub = adj[relab][:, relab]
+            r = np.asarray(reverse_cuthill_mckee(sub, symmetric_mode=True),
+                           dtype=np.int64)
+            cand = relab[r]
+            bw = bw_of(cand)
+            if bw < best_bw:
+                best, best_bw = cand, bw
+            if best_bw <= T:
+                break
+    return best
+
+
 def pack_pyramid(
     pyr: GraphPyramid,
     faces: Optional[np.ndarray] = None,
@@ -247,34 +281,54 @@ def pack_pyramid(
     sparse_kind: layout for levels above the threshold: "band" (strict
         block-banded, gather-free shifted matmuls — requires RCM) or
         "bcsr" (general block-sparse).
+
+    Fake-vertex elimination (rcm mode): the binary-tree padding vertices of
+    the reference pyramid (39% of rows at the finest SMPL level) are
+    isolated in every level's graph and only ever touched by elementwise
+    ops, so their activations never reach a real vertex; all inter-level
+    movement here is via precomputed gathers, so rcm-mode levels store REAL
+    vertices only — except the coarsest mesh level, whose padded tree
+    layout is visible to checkpoints through the fc layer's output size
+    (lib/models/meshnet.py:36-37) and is kept bit-compatible.
     """
     n_levels = len(pyr.mesh_laplacians)
-    # rho[k][p] = tree slot stored at device position p for level k
-    rhos: List[np.ndarray] = []
+    real_sizes = pyr.real_sizes
+    if real_sizes is None:  # legacy pyramids: fakes are the isolated slots
+        real_sizes = []
+        for k in range(n_levels):
+            deg = np.asarray(pyr.mesh_adjacencies[k].sum(axis=0)).ravel()
+            order_k = pyr.orders[k]
+            real = order_k[np.flatnonzero(deg > 0)]
+            real_sizes.append(int(real.max()) + 1 if len(real) else 0)
+
+    # layouts[k][p] = padded-tree slot stored at device position p
+    layouts: List[np.ndarray] = []
     for k in range(n_levels):
-        V = pyr.mesh_laplacians[k].shape[0]
+        P = pyr.mesh_laplacians[k].shape[0]
+        drop_fakes = ordering == "rcm" and k < n_levels - 1
+        if drop_fakes:
+            keep = np.flatnonzero(np.asarray(pyr.orders[k]) < real_sizes[k])
+        else:
+            keep = np.arange(P, dtype=np.int64)
+        V = len(keep)
         if ordering == "rcm" and V > dense_threshold:
-            adj = pyr.mesh_adjacencies[k]
-            rho = np.asarray(
-                reverse_cuthill_mckee(sp.csr_matrix(adj), symmetric_mode=True),
-                dtype=np.int64,
-            )
+            adj = sp.csr_matrix(pyr.mesh_adjacencies[k])[keep][:, keep]
+            rho = _min_bandwidth_order(adj, block_size)
         else:
             rho = np.arange(V, dtype=np.int64)
-        rhos.append(rho)
+        layouts.append(keep[rho])
 
     mesh_ops: List[LevelOperator] = []
     for k in range(n_levels):
-        L = sp.csr_matrix(pyr.mesh_laplacians[k])
-        rho = rhos[k]
-        L = L[rho][:, rho]
+        lay = layouts[k]
+        L = sp.csr_matrix(pyr.mesh_laplacians[k])[lay][:, lay]
         V = L.shape[0]
         kind = "dense" if V <= dense_threshold else sparse_kind
         if kind == "band" and ordering != "rcm":
             kind = "bcsr"  # band layout needs the bandwidth-minimized order
         # band levels always use the full 128-lane MXU tile (pack-time zero
-        # padding beats shrinking the tile: T=64 would push band_k to 2 and
-        # off the fused-kernel path); bcsr keeps divisor-fitting tiles
+        # padding beats shrinking the tile: T=64 would double band_k and the
+        # M=64 matmuls run at half the MXU rate); bcsr keeps divisor tiles
         T = block_size
         if kind == "bcsr":
             for cand in (block_size, 64, 32):
@@ -287,13 +341,20 @@ def pack_pyramid(
 
     up_idx: List[jnp.ndarray] = []
     for k in range(n_levels - 1):
-        rho_f, rho_c = rhos[k], rhos[k + 1]
-        inv_c = invert_permutation(rho_c)
-        up = inv_c[rho_f // 2]
+        lay_f, lay_c = layouts[k], layouts[k + 1]
+        P_c = pyr.mesh_laplacians[k + 1].shape[0]
+        pos_c = np.zeros(P_c, dtype=np.int64)
+        pos_c[lay_c] = np.arange(len(lay_c))
+        # parent of tree slot s is slot s//2 one level up (binary-tree
+        # invariant, lib/coarsening.py:214-258); real slots have real
+        # parents, so the lookup always lands on a kept coarse position
+        up = pos_c[lay_f // 2]
         up_idx.append(jnp.asarray(up.astype(np.int32)))
 
-    inv0 = invert_permutation(rhos[0])
-    vertex_gather = jnp.asarray(inv0[pyr.vertex_slot].astype(np.int32))
+    P0 = pyr.mesh_laplacians[0].shape[0]
+    pos0 = np.zeros(P0, dtype=np.int64)
+    pos0[layouts[0]] = np.arange(len(layouts[0]))
+    vertex_gather = jnp.asarray(pos0[pyr.vertex_slot].astype(np.int32))
 
     return PyramidArtifact(
         mesh_ops=tuple(mesh_ops),

@@ -98,6 +98,10 @@ class GraphPyramid:
     num_vertices: int
     joint_num: int
     lmaxes: List[float]
+    # real (non-fake) vertex count per retained mesh level: tree slots whose
+    # original id is < real_sizes[k] are actual graph vertices, the rest are
+    # the isolated binary-tree padding vertices (lib/coarsening.py:229-247).
+    real_sizes: List[int] = None
 
 
 def build_pyramid(
@@ -151,4 +155,5 @@ def build_pyramid(
         num_vertices=num_vertices,
         joint_num=joint_num,
         lmaxes=lmaxes,
+        real_sizes=[len(res.parents[k]) for k in range(used)],
     )

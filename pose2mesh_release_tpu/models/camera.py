@@ -36,6 +36,23 @@ def cam_to_pixel_params(cam, img_res: float = 250.0):
     return s * half, tx * s * half + half, ty * s * half + half
 
 
+def crop_cam_to_orig_params(cam, bbox):
+    """Fitted crop camera -> pixel params on the ORIGINAL image.
+
+    cam: (s, tx, ty) weak-perspective fitted against the square fit-crop;
+    bbox: (x, y, w, h) of that crop in original-image pixels (w == h).
+    Composing the crop projection with the inverse crop affine gives
+    xy_px = xy * (s*h/2) + (cx + t*s*h/2) — the reference's
+    convert_crop_cam_to_orig_img (demo/run.py:24-43) in this renderer's
+    pixel convention, so the overlay lands on the input photo.
+    """
+    x, y, w, h = (float(v) for v in bbox)
+    cx, cy = x + w * 0.5, y + h * 0.5
+    s, tx, ty = float(cam[0]), float(cam[1]), float(cam[2])
+    scale = s * h * 0.5
+    return scale, cx + tx * scale, cy + ty * scale
+
+
 def fit_camera(
     joints3d: jax.Array,     # (J, 3) or (P, J, 3) root-relative, meters
     target2d: jax.Array,     # matching (..., J, 2) crop pixels

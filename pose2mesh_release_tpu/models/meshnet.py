@@ -91,6 +91,16 @@ class ChebConv(nn.Module):
     # stay canonical so checkpoints are layout-independent
     flat_batch: int = 0
     fin: int = 0
+    # lane packing: g batch elements share one 128-lane group (fin*g == 128),
+    # with the projection weight expanded to kron(I_g, W) so one matmul
+    # computes all g elements — halves (g=2) the hop FLOPs and HBM bytes of
+    # sub-128-channel segments vs zero-padding each batch element to 128
+    lane_pack: int = 1
+    # explicit vertex-dim model parallelism: when a ('data','graph') Mesh
+    # with graph axis > 1 is given, band-level hops run through the
+    # shard_map + ppermute halo exchange (parallel.halo) instead of letting
+    # GSPMD all-gather the sharded activations (SURVEY.md §2.3 TP row)
+    spmd_mesh: Any = None
 
     @nn.compact
     def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool,
@@ -105,13 +115,31 @@ class ChebConv(nn.Module):
             # flat deploy path (inference only, BN pre-folded)
             B = self.flat_batch
             fin = self.fin
-            Fp = x.shape[1] // B
-            Fop = -(-self.fout // 128) * 128
+            g = self.lane_pack
             kernel = self.param("kernel", _ref_uniform_init,
                                 (fin * self.K, self.fout), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros,
                               (self.fout,), jnp.float32)
             w = kernel.reshape(fin, self.K, self.fout).transpose(1, 0, 2)
+            if g > 1:
+                # packed lanes: g batches x fin channels per 128-lane group
+                # (fin*g == 128); per-batch output lanes fout_p, weight
+                # blockdiag-expanded so the packed matmul stays exact
+                assert fin * g == 128, (fin, g)
+                assert skip is None, "residual skips not supported when packed"
+                fout_p = -(-self.fout // (128 // g)) * (128 // g)
+                w = jnp.pad(w, ((0, 0), (0, 0), (0, fout_p - self.fout)))
+                eye = jnp.eye(g, dtype=w.dtype)
+                # (K, fin, fout_p) -> (K, g*fin, g*fout_p)
+                w = jax.vmap(lambda wk: jnp.kron(eye, wk))(w)
+                bp = jnp.tile(jnp.pad(bias, (0, fout_p - self.fout)), g)
+                return fused_conv_flat(
+                    op, x, B // g,
+                    w.reshape(self.K * 128, g * fout_p).astype(self.dtype),
+                    bp.astype(self.dtype), relu=self.use_relu,
+                    skip=skip, skip_w=skip_w, out_3d=out_3d)
+            Fp = x.shape[1] // B
+            Fop = -(-self.fout // 128) * 128
             w = jnp.pad(w, ((0, 0), (0, Fp - fin), (0, Fop - self.fout)))
             bp = jnp.pad(bias, (0, Fop - self.fout))
             return fused_conv_flat(
@@ -126,7 +154,31 @@ class ChebConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
 
         folded = self.inference_fused and self.use_bn and not train
-        if self.use_pallas and self.K == 3 and pallas_supported(op, x):
+        graph_sharded = (self.spmd_mesh is not None
+                         and dict(self.spmd_mesh.shape).get("graph", 1) > 1)
+        if graph_sharded and x.ndim == 3:
+            from ..parallel.halo import halo_banded_hop, halo_supported
+
+            if halo_supported(op, self.spmd_mesh):
+                # Chebyshev basis with explicit ppermute halo hops: each hop
+                # exchanges one boundary tile per side over ICI instead of
+                # the all-gather GSPMD would insert for V-sharded operands.
+                hop = lambda v: halo_banded_hop(op, v, self.spmd_mesh)
+                xs = [x]
+                if self.K > 1:
+                    xs.append(hop(x))
+                for _ in range(2, self.K):
+                    xs.append(2.0 * hop(xs[-1]) - xs[-2])
+                stacked = jnp.stack(xs, axis=-1).reshape(
+                    x.shape[:-1] + (fin * self.K,))
+                y = stacked @ kernel.astype(self.dtype) \
+                    + bias.astype(self.dtype)
+            else:  # dense/joint levels are small: replicated compute
+                xs = chebyshev_stack(op, x, self.K)
+                y = xs @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+            if folded:
+                return nn.relu(y) if self.use_relu else y
+        elif self.use_pallas and self.K == 3 and pallas_supported(op, x):
             # fused kernel wants basis-major rows: [W_x; W_Lx; W_cheb2]
             w_basis = kernel.reshape(fin, self.K, self.fout)
             w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
@@ -166,6 +218,7 @@ class MeshNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = True
     inference_fused: bool = False
+    spmd_mesh: Any = None  # ('data','graph') Mesh for explicit halo TP
 
     @nn.compact
     def __call__(self, art: PyramidArtifact, x: jnp.ndarray, train: bool = False):
@@ -198,8 +251,10 @@ class MeshNet(nn.Module):
         # layout end-to-end — no (V, B, F) <-> (V, B*F) re-tiling, no
         # row pad/slice (pack-time padding), residual skips and the final
         # 3-D write fused into the conv kernels' epilogues
+        graph_sharded = (self.spmd_mesh is not None
+                         and dict(self.spmd_mesh.shape).get("graph", 1) > 1)
         use_flat = (self.inference_fused and not train and self.use_pallas
-                    and _fused_enabled()
+                    and _fused_enabled() and not graph_sharded
                     and all(_flat_ok(op) for op in art.mesh_ops))
         flat = False  # whether x currently carries the 2-D flat layout
 
@@ -218,6 +273,7 @@ class MeshNet(nn.Module):
                 flat = True
             input_x = x
             has_skip = 0 < i < n_blocks - 1
+            pack_g = 1  # current lane-packing factor of x (flat path)
             for li in range(len(chans) - 1):
                 last_conv = i == n_blocks - 1 and li == len(chans) - 2
                 block_last = li == len(chans) - 2
@@ -232,16 +288,32 @@ class MeshNet(nn.Module):
                         skip_w = jnp.asarray(
                             np.pad(m_i, ((0, fs_lanes - fin_b), (0, fop - fout_b))),
                             dtype=self.dtype)
+                if block_flat and i == n_blocks - 1:
+                    # final block (no residual skip): pack g batch elements
+                    # per 128-lane group for sub-128-channel convs — halves
+                    # the 64->3 segment's hop FLOPs and bytes vs zero-padding
+                    fin_cur = chans[li]
+                    want_g = (128 // fin_cur
+                              if fin_cur < 128 and 128 % fin_cur == 0 else 1)
+                    if want_g > pack_g and B % want_g == 0:
+                        # batch-major lanes reshape cleanly at any packing
+                        x = x.reshape(x.shape[0], B, -1)[:, :, :fin_cur]
+                        x = x.reshape(x.shape[0], (B // want_g) * 128)
+                        pack_g = want_g
                 x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
                              use_pallas=self.use_pallas,
                              use_bn=not last_conv, use_relu=not last_conv,
                              inference_fused=self.inference_fused,
                              flat_batch=B if block_flat else 0,
-                             fin=chans[li] if block_flat else 0)(
+                             fin=chans[li] if block_flat else 0,
+                             lane_pack=pack_g,
+                             spmd_mesh=self.spmd_mesh)(
                     op, x, train, skip=skip, skip_w=skip_w,
                     out_3d=last_conv and block_flat)
             if block_flat and i == n_blocks - 1:
-                flat = False  # final conv wrote (Vp, B, Fop) 3-D directly
+                flat = False  # final conv wrote 3-D directly
+                if pack_g > 1:  # (Vp, B//g, g*fout_p) -> (Vp, B, fout_p)
+                    x = x.reshape(x.shape[0], B, -1)
                 x = x[:op.num_vertices, :, :chans[-1]]
 
             if i == 0:

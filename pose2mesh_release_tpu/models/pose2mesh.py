@@ -28,6 +28,9 @@ class Pose2Mesh(nn.Module):
     use_pallas: bool = True
     # deploy mode: pair with models.fold.fold_bn_variables(variables)
     inference_fused: bool = False
+    # ('data','graph') Mesh: graph axis > 1 routes band-level hops through
+    # the explicit ppermute halo exchange (parallel.halo)
+    spmd_mesh: Any = None
 
     def setup(self):
         self.pose_lifter = PoseNet(self.num_joint, hidden=self.posenet_hidden,
@@ -35,7 +38,8 @@ class Pose2Mesh(nn.Module):
         blocks = self.blocks or (MANO_BLOCKS if self.mano else SMPL_BLOCKS)
         self.pose2mesh = MeshNet(blocks=blocks, dtype=self.dtype,
                                  use_pallas=self.use_pallas,
-                                 inference_fused=self.inference_fused)
+                                 inference_fused=self.inference_fused,
+                                 spmd_mesh=self.spmd_mesh)
 
     def __call__(
         self,

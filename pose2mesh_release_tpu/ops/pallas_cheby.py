@@ -227,12 +227,14 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
     return kernel
 
 
-def _pick_m(nt: int, require_divisor: bool = False) -> int:
+def _pick_m(nt: int, require_divisor: bool = False, k: int = 1) -> int:
     """Output row-tiles per program: prefer a divisor of nt (pack_pyramid
-    pads band tile counts to multiples of 4) so no runtime row padding is
-    ever needed; the (m+2)/m halo-recompute overhead shrinks with m."""
-    m_target = int(os.environ.get("P2M_FUSED_M", "4"))
-    for cand in (m_target, m_target // 2, 2):
+    pads band tile counts to multiples of the group) so no runtime row
+    padding is ever needed; the (m+2k)/m halo-recompute overhead shrinks
+    with m and is steeper for wider bands, so k=2 defaults to m=8."""
+    default = "8" if k >= 2 else "4"
+    m_target = int(os.environ.get("P2M_FUSED_M", default))
+    for cand in (m_target, m_target // 2, m_target // 4, 2):
         if cand >= 2 and nt % cand == 0 and nt >= 2 * cand:
             return cand
     if not require_divisor:
@@ -270,7 +272,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
     F = C // batch
     Fout = W.shape[1]
     assert W.shape[0] == 3 * F, (W.shape, F)
-    m = _pick_m(nt, require_divisor=True)
+    m = _pick_m(nt, require_divisor=True, k=k)
     lane_cap = int(os.environ.get("P2M_FUSED_LANES", "2048"))
     BC = 1
     for c in range(1, batch + 1):
@@ -349,10 +351,10 @@ def _fused_call(band_val, x, W, b, T, relu=False):
     k = nbd // 2
     V, B, F = x.shape
     Fout = W.shape[1]
-    # m output row-tiles per program: the (m+4)/m halo read amplification
-    # drops from 5x (m=1) to 2x (m=4); m>4 buys little more bandwidth but
-    # inflates Mosaic compile time (the kernel body unrolls ~12*m matmuls)
-    m = _pick_m(nt)
+    # m output row-tiles per program: the (m+4k)/m halo read amplification
+    # drops from 5x (m=1) to 2x (m=4); larger m buys less and inflates
+    # Mosaic compile time (the kernel body unrolls ~12*m matmuls)
+    m = _pick_m(nt, k=k)
     nt_pad = -(-nt // m) * m
     Vp = nt_pad * T
     # batch chunk: the x window, z1 intermediates, and f32 accumulators

@@ -82,3 +82,41 @@ def pyramid_roofline(art: PyramidArtifact, batch: int,
         f = feats[k] if isinstance(feats, dict) else feats
         out[f"level{k}_V{op.num_vertices}"] = spmm_roofline(op, batch, f).as_dict()
     return out
+
+
+def fused_conv_roofline(op: LevelOperator, batch: int, fin_lanes: int,
+                        fout_lanes: int, m: int = 4,
+                        dtype_bytes: int = 2,
+                        mxu_flops: float = V5E_FLOPS * 0.5) -> Roofline:
+    """Cost model of ONE fused flat Chebyshev conv (ops.pallas_cheby).
+
+    Counts the kernel's actual matmul volume — z1 for m+2k tiles, z2 for m,
+    the 3 basis projections — and its HBM traffic (x re-read (m+4k)/m times
+    across the program grid, band rows (m+2k)/m, one output write).
+    `mxu_flops` defaults to half of bf16 peak: (128,128)x(128,C) batched
+    matmuls sustain ~100 TF/s on v5e (measured), vs 178 for large square
+    matmuls — that sustained rate IS the speed of light for this shape.
+    """
+    if op.kind != "band":
+        return spmm_roofline(op, batch, fin_lanes, dtype_bytes)
+    nbd, nt, T, _ = (int(s) for s in np.asarray(op.band_val.shape))
+    k = nbd // 2
+    C = batch * fin_lanes
+    Co = batch * fout_lanes
+    Vp = nt * T
+    hop_mm = (m + 2 * k) * nbd + m * nbd          # z1 tiles + z2 tiles
+    flops = 2.0 * (hop_mm / m) * nt * T * T * C   # hop matmuls
+    flops += 2.0 * 3 * Vp * fin_lanes * Co        # basis projections
+    bytes_ = dtype_bytes * (
+        Vp * C * (m + 4 * k) / m                  # x window re-reads
+        + nbd * nt * T * T * (m + 2 * k) / m      # band rows
+        + Vp * Co                                 # output write
+    )
+    t_compute = flops / mxu_flops
+    t_memory = bytes_ / V5E_HBM_BW
+    return Roofline(
+        flops=flops, hbm_bytes=float(bytes_),
+        intensity=float(flops / bytes_),
+        bound="compute" if t_compute > t_memory else "memory",
+        ideal_us=max(t_compute, t_memory) * 1e6,
+    )

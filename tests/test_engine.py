@@ -84,6 +84,7 @@ def _cfg(tmpdir):
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_fit_and_resume(tiny_setup, tmp_path):
     art, faces = tiny_setup
     cfg = _cfg(tmp_path)
@@ -108,6 +109,7 @@ def test_trainer_fit_and_resume(tiny_setup, tmp_path):
     assert len(tr2.train_log) == 2
 
 
+@pytest.mark.slow
 def test_tester_with_checkpoint(tiny_setup, tmp_path):
     art, faces = tiny_setup
     cfg = _cfg(tmp_path)

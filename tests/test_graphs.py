@@ -181,8 +181,13 @@ def test_artifact_matches_scipy(pyramid):
     y_np = (x[idx] * w[..., None]).sum(axis=1)
     np.testing.assert_allclose(y_dev, y_np, atol=1e-5)
     # row sums of ell weights must match scipy Laplacian row sums as a
-    # permutation-invariant multiset
-    scipy_rows = np.sort(np.asarray(sp.csr_matrix(pyramid.mesh_laplacians[0]).sum(axis=1)).ravel())
+    # permutation-invariant multiset; rcm-mode levels store REAL vertices
+    # only, so restrict the scipy matrix to real (non-fake) tree slots
+    L0 = sp.csr_matrix(pyramid.mesh_laplacians[0])
+    real_slots = np.flatnonzero(
+        np.asarray(pyramid.orders[0]) < pyramid.real_sizes[0])
+    scipy_rows = np.sort(
+        np.asarray(L0[real_slots][:, real_slots].sum(axis=1)).ravel())
     art_rows = np.sort(w.sum(axis=1))
     np.testing.assert_allclose(art_rows, scipy_rows, atol=1e-5)
 

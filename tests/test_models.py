@@ -71,6 +71,7 @@ def test_meshnet_forward_shapes(art):
     assert mesh.shape == (2, 770, 3)
 
 
+@pytest.mark.slow
 def test_meshnet_batchnorm_state(art):
     model = MeshNet(blocks=TEST_BLOCKS)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((4, J, 5)).astype(np.float32))
@@ -83,6 +84,7 @@ def test_meshnet_batchnorm_state(art):
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
 
 
+@pytest.mark.slow
 def test_cascade_stop_gradient(art):
     """MeshNet gradients must not flow into PoseNet through the cascade
     (pose2mesh_net.py:19 detach semantics)."""
@@ -123,6 +125,7 @@ def test_posenet_dropout_only_in_train():
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_bn_folding_matches_eval(art):
     """fold_bn_variables + inference_fused model == standard eval forward."""
     import jax
@@ -164,6 +167,7 @@ def _grid_faces(w: int, h: int) -> np.ndarray:
     return np.asarray(faces, np.int32)
 
 
+@pytest.mark.slow
 def test_flat_deploy_path_matches_3d():
     """The inference flat pipeline (2-D layout, fused skips, out_3d last
     conv, pack-time row padding) must reproduce the 3-D path exactly."""
@@ -196,4 +200,41 @@ def test_flat_deploy_path_matches_3d():
     netf = MeshNet(blocks=blocks, inference_fused=True)
     yf = extract_mesh(art, netf.apply(fold_bn_variables(v), art, x, False))
     np.testing.assert_allclose(np.asarray(y3d), np.asarray(yf),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_deploy_lane_packing_matches_plain():
+    """Flat deploy path with batch-pair lane packing active (sub-128-channel
+    final block, B divisible by the packing factor) == plain XLA forward."""
+    from pose2mesh_release_tpu.body.synthetic import uv_sphere
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.models.fold import fold_bn_variables
+    from pose2mesh_release_tpu.models.meshnet import extract_mesh
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    J = 7
+    blocks = ((5, 8, 8), (8, 16), (16, 16), (16, 16), (16, 8, 3))
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=J,
+                        skeleton=[(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)],
+                        levels=4)
+    art = pack_pyramid(pyr, faces, dense_threshold=300)
+    assert art.mesh_ops[0].kind == "band"
+
+    # B=16: fin=16 packs 8/group, then fin=8 re-packs 16/group
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((16, J, 2)), jnp.float32)
+    plain = Pose2Mesh(num_joint=J, posenet_hidden=32, blocks=blocks,
+                      use_pallas=False)
+    variables = plain.init(jax.random.PRNGKey(0), art, x, False)
+    ref_mesh, ref_pose = plain.apply(variables, art, x, False)
+
+    fused = Pose2Mesh(num_joint=J, posenet_hidden=32, blocks=blocks,
+                      use_pallas=True, inference_fused=True)
+    fus_mesh, fus_pose = fused.apply(fold_bn_variables(variables), art, x, False)
+    np.testing.assert_allclose(np.asarray(extract_mesh(art, fus_mesh)),
+                               np.asarray(extract_mesh(art, ref_mesh)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fus_pose), np.asarray(ref_pose),
                                rtol=1e-4, atol=1e-5)

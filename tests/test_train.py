@@ -110,6 +110,7 @@ def test_metrics_procrustes():
     np.testing.assert_allclose(np.asarray(aligned), np.asarray(gt[0]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(setup):
     art, model, faces = setup
     rng = np.random.default_rng(0)
@@ -134,6 +135,7 @@ def test_train_step_decreases_loss(setup):
     assert losses_hist[-1] < 0.7 * losses_hist[0], losses_hist[::10]
 
 
+@pytest.mark.slow
 def test_edge_loss_gate(setup):
     art, model, _ = setup
     rng = np.random.default_rng(0)
