@@ -6,16 +6,18 @@ The hot op of the whole framework (SURVEY.md §6): the reference runs
 (`ops.spmm.spmm_band`) is correct but pays pad copies and an unfused sum
 over block diagonals.  This kernel is strictly 2-D (Mosaic-friendly):
 x is viewed as (V, C) with C = batch*features folded into lanes, the grid
-runs (column-chunks, row-tiles), and each program issues one MXU matmul
-per block diagonal:
+runs (column-chunks, row-tiles), and each program issues ONE MXU matmul per
+hop with the 2k+1 band blocks concatenated along the contraction dim
+(pack layout `_band_cat`: (nt, T, nbd*T)):
 
-    out[t, c] = band[0, t] @ x[t-1, c] + band[1, t] @ x[t, c]
-                                       + band[2, t] @ x[t+1, c]
+    out[t, c] = band_cat[t] @ concat(x[t-k..t+k])[, c]
 
-Boundary tiles multiply an all-zero band block (guaranteed by the packing),
-so index clamping needs no masking.  The custom VJP exploits L's symmetry:
-the backward of a hop is the same hop on the cotangent.  Gradients w.r.t.
-the Laplacian blocks are not formed (the graph is a frozen artifact).
+K = nbd*T = 384 sustains ~1.6x the MXU rate of 2k+1 separate K=128
+matmuls on v5e (measured ~198 vs ~125 TF/s bf16).  Boundary tiles multiply
+an all-zero band block (guaranteed by the packing), so index clamping needs
+no masking.  The custom VJP exploits L's symmetry: the backward of a hop is
+the same hop on the cotangent.  Gradients w.r.t. the Laplacian blocks are
+not formed (the graph is a frozen artifact).
 
 The full Chebyshev conv (`fused_cheby_project`) composes two hops with the
 basis-split projection y = x@W0 + z1@W1 + z2@W2 + b — the elementwise
@@ -61,14 +63,20 @@ def _col_chunk(C: int, target: int = 4096) -> int:
     return best or C
 
 
+def _band_cat(band_val: jax.Array) -> jax.Array:
+    """(nbd, nt, T, T) -> (nt, T, nbd*T): per row-tile, the 2k+1 band blocks
+    concatenated along the contraction dim, so one hop is ONE
+    (T, nbd*T) @ (nbd*T, C) MXU matmul — K=384 sustains ~1.6x the rate of
+    three K=128 matmuls on v5e (measured in BENCH notes)."""
+    nbd, nt, T, _ = band_val.shape
+    return band_val.transpose(1, 2, 0, 3).reshape(nt, T, nbd * T)
+
+
 def _hop_kernel_factory(nbd):
     def kernel(*refs):
         band_ref, x_refs, out_ref = refs[0], refs[1:1 + nbd], refs[-1]
-        acc = jnp.dot(band_ref[0, 0], x_refs[0][:],
-                      preferred_element_type=jnp.float32)
-        for d in range(1, nbd):
-            acc += jnp.dot(band_ref[d, 0], x_refs[d][:],
-                           preferred_element_type=jnp.float32)
+        xcat = jnp.concatenate([r[:] for r in x_refs], axis=0)
+        acc = jnp.dot(band_ref[0], xcat, preferred_element_type=jnp.float32)
         out_ref[:] = acc.astype(out_ref.dtype)
     return kernel
 
@@ -97,14 +105,14 @@ def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
         _hop_kernel_factory(nbd),
         grid=(ncc, nt),
         in_specs=[
-            pl.BlockSpec((nbd, 1, T, T), lambda c, t: (0, t, 0, 0),
+            pl.BlockSpec((1, T, nbd * T), lambda c, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [xspec(s) for s in range(-k, k + 1)],
         out_specs=pl.BlockSpec((T, TC), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, C), x.dtype),
         interpret=_interpret(),
-    )(band_val.astype(x.dtype), *([x2] * nbd))
+    )(_band_cat(band_val.astype(x.dtype)), *([x2] * nbd))
     return out[:V].reshape(V, B, F)
 
 
@@ -137,15 +145,16 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
 # fully fused conv kernel: two hops + basis projection in one pass
 # ---------------------------------------------------------------------------
 #
-# Per (column-chunk, row-tile) program, with a 5-tile halo window of x and 3
-# band rows, everything stays in VMEM:
-#   z1_{t+o} = sum_d band[d, t+o] @ x[t+o+d-1]      (o = -1, 0, 1)
-#   z2_t     = 2 * sum_d band[d, t] @ z1_{t+d-1} - x_t
-#   y_t      = x_t @ W0 + z1_t @ W1 + z2_t @ W2 + b
-# The recomputation of neighbor z1 tiles (3x hop-1 FLOPs) buys removal of
-# all intermediate HBM traffic: x is read 5x and y written once per conv,
-# vs ~15 tensor movements for the unfused composition.  Boundary tiles
-# multiply all-zero band blocks, so index clamping is safe.
+# Per (column-chunk, row-tile-group) program, with an (m+4k)-tile halo window
+# of x and (m+2k) concatenated band rows, everything stays in VMEM:
+#   z1_a = band_cat[a] @ xall[a-k..a+k]          (a = t*m-k .. t*m+m-1+k)
+#   z2_j = 2 * band_cat[j] @ z1all[j-k..j+k] - x_j
+#   y_j  = concat(x_j, z1_j, z2_j) @ W + b       (ONE K=3F projection matmul)
+# The recomputation of neighbor z1 tiles ((m+2k)/m of hop-1 FLOPs) buys
+# removal of all intermediate HBM traffic: x is read (m+4k)/m times and y
+# written once per conv, vs ~15 tensor movements for the unfused
+# composition.  Boundary tiles multiply all-zero band blocks, so index
+# clamping is safe.
 #
 # The in-kernel projection reshapes (T, BC*F) <-> (T*BC, F); Mosaic supports
 # these only when F and Fout are lane-aligned (multiples of 128), so other
@@ -172,7 +181,7 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
     n_x = m + 4 * k
 
     def kernel(*refs):
-        band_refs = refs[:n_band]
+        band_refs = refs[:n_band]          # (1, T, nbd*T) concatenated rows
         x_refs = refs[n_band:n_band + n_x]
         rest = list(refs[n_band + n_x:])
         skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
@@ -181,32 +190,29 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
         out_ref = rest[-1]
         xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
         dt = out_ref.dtype
+        # one contiguous window so every hop is a single K=nbd*T matmul
+        xall = jnp.concatenate(xs, axis=0)            # ((m+4k)*T, C)
 
-        def hop(br, base):
-            # br row a multiplies x tiles a-k .. a+k; xs[base] = tile a-k
-            acc = jnp.dot(br[0, 0], xs[base], preferred_element_type=jnp.float32)
-            for d in range(1, nbd):
-                acc += jnp.dot(br[d, 0], xs[base + d],
-                               preferred_element_type=jnp.float32)
-            return acc
+        def hop(br, src, lo):
+            # rows [lo*T, lo*T + nbd*T) of src are tiles a-k..a+k
+            window = jax.lax.slice_in_dim(src, lo * T, lo * T + nbd * T, axis=0)
+            return jnp.dot(br[0], window, preferred_element_type=jnp.float32)
 
         # z1 for tiles t*m + a, a in [-k .. m-1+k]; list index a + k
-        z1 = [hop(band_refs[a + k], a + k).astype(dt)
+        z1 = [hop(band_refs[a + k], xall, a + k).astype(dt)
               for a in range(-k, m + k)]
-
-        def proj(z, i):
-            z = z.reshape(T, BC, F).reshape(T * BC, F)
-            return jnp.dot(z, w_ref[i * F:(i + 1) * F, :],
-                           preferred_element_type=jnp.float32)
+        z1all = jnp.concatenate(z1, axis=0)           # ((m+2k)*T, C)
 
         for j in range(m):
             br = band_refs[j + k]  # central band row for output tile j
-            acc2 = jnp.dot(br[0, 0], z1[j], preferred_element_type=jnp.float32)
-            for d in range(1, nbd):
-                acc2 += jnp.dot(br[d, 0], z1[j + d],
-                                preferred_element_type=jnp.float32)
+            acc2 = hop(br, z1all, j)
             z2 = (2.0 * acc2 - xs[j + 2 * k].astype(jnp.float32)).astype(dt)
-            acc = proj(xs[j + 2 * k], 0) + proj(z1[j + k], 1) + proj(z2, 2)
+            # basis-concat projection: ONE (T*BC, 3F) @ (3F, Fout) matmul
+            def _rows(z):
+                return z.reshape(T, BC, F).reshape(T * BC, F)
+            xz = jnp.concatenate([_rows(xs[j + 2 * k]), _rows(z1[j + k]),
+                                  _rows(z2)], axis=1)
+            acc = jnp.dot(xz, w_ref[:], preferred_element_type=jnp.float32)
             acc += bias_ref[0][None, :].astype(jnp.float32)
             if relu:  # deploy-mode: BN folded into W/b, activation in-kernel
                 acc = jnp.maximum(acc, 0.0)
@@ -282,8 +288,8 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
 
     def bspec(shift):
         return pl.BlockSpec(
-            (nbd, 1, T, T),
-            lambda c, t: (0, jnp.clip(t * m + shift, 0, nt - 1), 0, 0),
+            (1, T, nbd * T),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def xspec(shift):
@@ -292,7 +298,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
             lambda c, t: (jnp.clip(t * m + shift, 0, nt - 1), c),
             memory_space=pltpu.VMEM)
 
-    band_in = band_val.astype(x2.dtype)
+    band_in = _band_cat(band_val.astype(x2.dtype))
     in_specs = [bspec(s) for s in range(-k, m + k)]
     operands = [band_in] * (m + 2 * k)
     in_specs += [xspec(i) for i in range(-2 * k, m + 2 * k)]
@@ -374,8 +380,8 @@ def _fused_call(band_val, x, W, b, T, relu=False):
 
     def bspec(shift):
         return pl.BlockSpec(
-            (nbd, 1, T, T),
-            lambda c, t: (0, jnp.clip(t * m + shift, 0, nt_pad - 1), 0, 0),
+            (1, T, nbd * T),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), 0, 0),
             memory_space=pltpu.VMEM)
 
     def xspec(shift):
@@ -386,7 +392,7 @@ def _fused_call(band_val, x, W, b, T, relu=False):
 
     band_specs = [bspec(s) for s in range(-k, m + k)]        # m+2k
     x_specs = [xspec(i) for i in range(-2 * k, m + 2 * k)]   # m+4k
-    band_in = band.astype(x.dtype)
+    band_in = _band_cat(band.astype(x.dtype))
 
     out = pl.pallas_call(
         _fused_kernel_factory(T, BC, F, Fout, m, k, relu),
