@@ -107,8 +107,8 @@ class ChebConv(nn.Module):
                  *, skip: jnp.ndarray | None = None,
                  skip_w: jnp.ndarray | None = None, out_3d: bool = False):
         from ..ops.pallas_cheby import (
-            fused_cheby_project, fused_cheby_project_relu, fused_conv_flat,
-            pallas_supported,
+            fused_cheby_project, fused_cheby_project_relu,
+            fused_conv_flat_dispatch as fused_conv_flat, pallas_supported,
         )
 
         if self.flat_batch:

@@ -40,7 +40,19 @@ from ..graphs.artifact import LevelOperator
 from .spmm import spmm, spmm_band
 
 __all__ = ["banded_hop", "fused_cheby_project", "fused_cheby_project_relu",
-           "fused_conv_flat", "pallas_supported"]
+           "fused_conv_flat", "fused_conv_flat_dispatch", "pallas_supported"]
+
+
+def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
+    """Deploy flat-conv entry point: picks the whole-level windowed kernel
+    (ops.pallas_window) when supported, else the row-tile-group kernel.
+    P2M_FLAT_IMPL={window,group} overrides for A/B measurement."""
+    impl = os.environ.get("P2M_FLAT_IMPL", "group")
+    if impl == "window":
+        from .pallas_window import fused_conv_flat_window, window_supported
+        if window_supported(op):
+            return fused_conv_flat_window(op, x2, batch, W, b, **kw)
+    return fused_conv_flat(op, x2, batch, W, b, **kw)
 
 
 def _interpret() -> bool:
