@@ -72,31 +72,39 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         x2 = jnp.asarray(rng.standard_normal((Vp, C)) * 0.1, jnp.bfloat16)
-        Wd = jnp.asarray(rng.standard_normal((Vp, 384)) * 0.01, jnp.bfloat16)
+        Wd = jnp.asarray(rng.standard_normal((Vp, nbd * T)) * 0.01, jnp.bfloat16)
         Wc = jnp.asarray(rng.standard_normal((3 * F, F)) * 0.05, jnp.bfloat16)
         bb = jnp.zeros((F,), jnp.bfloat16)
     x2, Wd, Wc, bb = jax.device_put((x2, Wd, Wc, bb), dev)
     x3 = x2.reshape(Vp, B, F)
 
-    hop_fl = Vp * 384 * C * 2
+    hop_fl = Vp * (nbd * T) * C * 2  # one hop's matmul volume at this band_k
 
     if "dense" in variants:
-        timeloop(lambda x: (Wd @ x[:384]).astype(x.dtype), x2, hop_fl, "dense")
+        timeloop(lambda x: (Wd @ x[:nbd * T]).astype(x.dtype), x2, hop_fl,
+                 "dense")
 
     if "hop" in variants:
         from pose2mesh_release_tpu.ops.pallas_cheby import _hop_call
         timeloop(lambda x: _hop_call(op_d.band_val, x, T), x3, hop_fl, "hop")
 
-    for v in variants:
-        if not v.startswith("fused"):
-            continue
-        m_env = v.split(":")[1] if ":" in v else "4"
-        os.environ["P2M_FUSED_M"] = m_env
-        m = int(m_env)
-        from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat
-        fl = (1.0 + (m + 2 * k) / m) * hop_fl + Vp * B * 3 * F * F * 2
-        timeloop(lambda x: fused_conv_flat(op_d, x, B, Wc, bb, relu=True),
-                 x2, fl, f"fused(m={m_env})")
+    saved_m = os.environ.get("P2M_FUSED_M")
+    try:
+        for v in variants:
+            if not v.startswith("fused"):
+                continue
+            m_env = v.split(":")[1] if ":" in v else "4"
+            os.environ["P2M_FUSED_M"] = m_env
+            m = int(m_env)
+            from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat
+            fl = (1.0 + (m + 2 * k) / m) * hop_fl + Vp * B * 3 * F * F * 2
+            timeloop(lambda x: fused_conv_flat(op_d, x, B, Wc, bb, relu=True),
+                     x2, fl, f"fused(m={m_env})")
+    finally:
+        if saved_m is None:
+            os.environ.pop("P2M_FUSED_M", None)
+        else:
+            os.environ["P2M_FUSED_M"] = saved_m
 
     if "window" in variants:
         from pose2mesh_release_tpu.ops.pallas_window import (

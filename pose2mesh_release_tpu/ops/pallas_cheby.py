@@ -46,11 +46,15 @@ __all__ = ["banded_hop", "fused_cheby_project", "fused_cheby_project_relu",
 def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
     """Deploy flat-conv entry point: picks the whole-level windowed kernel
     (ops.pallas_window) when supported, else the row-tile-group kernel.
-    P2M_FLAT_IMPL={window,group} overrides for A/B measurement."""
+    P2M_FLAT_IMPL={window,group} overrides for A/B measurement; unknown
+    values raise (a typo must not silently change which kernel is
+    measured)."""
     impl = os.environ.get("P2M_FLAT_IMPL", "group")
+    if impl not in ("window", "group"):
+        raise ValueError(f"P2M_FLAT_IMPL={impl!r}: expected 'window' or 'group'")
     if impl == "window":
         from .pallas_window import fused_conv_flat_window, window_supported
-        if window_supported(op):
+        if window_supported(op, batch=batch, lanes=x2.shape[1] // batch):
             return fused_conv_flat_window(op, x2, batch, W, b, **kw)
     return fused_conv_flat(op, x2, batch, W, b, **kw)
 

@@ -54,13 +54,36 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def window_supported(op: LevelOperator, nt_min: int = 0) -> bool:
+def window_supported(op: LevelOperator, nt_min: int = 0, *,
+                     batch: int = 0, lanes: int = 0) -> bool:
     """The window layout needs nt >= 2k+1 row tiles (edge shifting assumes
-    the middle region exists) and the band kind."""
-    if op.kind != "band" or op.band_k < 1:
+    the middle region exists), the band kind, and k <= 2 (the same cap as
+    pallas_supported — wider bands take the XLA path everywhere).
+
+    When batch/lanes are given, also checks the whole-level VMEM live set
+    (win + x + z1 scratch + out, double-buffered column chunks) against the
+    kernel's vmem_limit so dispatch falls back to the group kernel instead
+    of failing at Mosaic compile time."""
+    if op.kind != "band" or not (1 <= op.band_k <= 2):
         return False
     nt = op.band_val.shape[1]
-    return nt >= 2 * op.band_k + 1 and nt >= nt_min
+    if nt < 2 * op.band_k + 1 or nt < nt_min:
+        return False
+    if batch and lanes:
+        T = op.block_size
+        VpR = nt * T
+        cap = int(os.environ.get("P2M_WIN_LANES", "1024"))
+        bc_lanes = 0
+        for c in range(1, batch + 1):
+            if batch % c == 0 and c * lanes <= cap:
+                bc_lanes = c * lanes
+        bc_lanes = bc_lanes or lanes
+        win_b = VpR * (2 * op.band_k + 1) * T * 2
+        # x, out, skip double-buffered per column chunk + z1 scratch
+        bytes_ = win_b + VpR * bc_lanes * 2 * (3 * 2 + 1)
+        if bytes_ > 100 * 1024 * 1024:
+            return False
+    return True
 
 
 def _window_cat(band_val: jax.Array, T: int) -> jax.Array:

@@ -124,3 +124,66 @@ def test_fused_cheby_gradients(band_op):
     gW_r_basis = np.asarray(gW_r).reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
     np.testing.assert_allclose(np.asarray(gW_f), gW_r_basis, rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r), rtol=2e-4, atol=2e-3)
+
+
+def _synthetic_band_op(k: int, nt: int = 6, T: int = 128, seed: int = 0):
+    """Random symmetric banded operator with block-bandwidth exactly k at
+    tile size T (scalar bandwidth ~ k*T - T/2), via the production packer."""
+    import scipy.sparse as sp
+
+    from pose2mesh_release_tpu.graphs.artifact import _make_level_op
+
+    V = nt * T
+    bw = k * T - T // 2
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(V), 4)
+    offs = rng.integers(-bw, bw + 1, size=rows.shape)
+    cols = np.clip(rows + offs, 0, V - 1)
+    vals = rng.standard_normal(rows.shape) * 0.2
+    L = sp.coo_matrix((vals, (rows, cols)), shape=(V, V))
+    L = ((L + L.T) * 0.5).tocsr()
+    # guarantee the extremal diagonals are populated so band_k == k
+    L[0, bw] = L[bw, 0] = 0.1
+    op = _make_level_op(L, "band", T)
+    assert op.band_k == k, (op.band_k, k)
+    return op
+
+
+@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("variant", ["plain", "skip_add", "skip_proj", "out_3d"])
+def test_flat_window_matches_group_kernel(k, variant):
+    """fused_conv_flat (row-tile groups) and fused_conv_flat_window
+    (whole-level resident) are interchangeable deploy kernels: equal
+    outputs over band_k in {1,2}, residual epilogues, and the 3-D final
+    write (ADVICE r2: the window kernel had no test coverage)."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat
+    from pose2mesh_release_tpu.ops.pallas_window import (
+        fused_conv_flat_window, window_supported)
+
+    op = _synthetic_band_op(k)
+    nt, T = op.band_val.shape[1], op.block_size
+    Vp = nt * T
+    B, F, Fout = 4, 128, 128
+    rng = np.random.default_rng(5)
+    x2 = jnp.asarray(rng.standard_normal((Vp, B * F)) * 0.3, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((3 * F, Fout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Fout,)) * 0.1, jnp.float32)
+
+    kw = dict(relu=True)
+    if variant == "skip_add":
+        kw["skip"] = jnp.asarray(
+            rng.standard_normal((Vp, B * Fout)) * 0.3, jnp.float32)
+    elif variant == "skip_proj":
+        kw["skip"] = jnp.asarray(
+            rng.standard_normal((Vp, B * F)) * 0.3, jnp.float32)
+        kw["skip_w"] = jnp.asarray(
+            rng.standard_normal((F, Fout)) * 0.05, jnp.float32)
+    elif variant == "out_3d":
+        kw["out_3d"] = True
+
+    assert window_supported(op, batch=B, lanes=F)
+    y_group = fused_conv_flat(op, x2, B, W, b, **kw)
+    y_window = fused_conv_flat_window(op, x2, B, W, b, **kw)
+    assert y_group.shape == y_window.shape
+    np.testing.assert_allclose(np.asarray(y_group), np.asarray(y_window),
+                               rtol=1e-4, atol=1e-4)
