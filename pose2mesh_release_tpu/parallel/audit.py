@@ -1,0 +1,61 @@
+"""Collective-schedule audit helpers (VERDICT r2 task 3).
+
+The graph-parallel contract (SURVEY.md §2.3): band-level activations are
+V-sharded and move via `collective-permute` halo exchanges; GSPMD must NOT
+fall back to `all-gather`-ing them.  Presence of collective-permute alone
+does not prove the negative — these helpers parse the compiled HLO's
+all-gather result shapes so callers can assert no V-sized activation is
+gathered (small dense/joint levels and scalar reductions may still
+replicate freely).
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+__all__ = ["all_gather_sizes", "assert_no_large_all_gather"]
+
+_SHAPE_RE = re.compile(r"=\s*(?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^ ]*)\s*all-gather\(")
+_ELEM_RE = re.compile(r"[a-z0-9]+\[([0-9,]*)\]")
+
+
+def all_gather_sizes(hlo_text: str) -> List[int]:
+    """Result element counts of every all-gather in an HLO dump."""
+    sizes: List[int] = []
+    for line in hlo_text.splitlines():
+        if "all-gather(" not in line:
+            continue
+        head = line.split("all-gather(")[0]
+        # result type(s) appear between '=' and the op name; tuples list
+        # each member shape
+        if "=" not in head:
+            continue
+        rhs = head.split("=", 1)[1]
+        total = 0
+        for m in _ELEM_RE.finditer(rhs):
+            dims = m.group(1)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n
+        if total:
+            sizes.append(total)
+    return sizes
+
+
+def assert_no_large_all_gather(hlo_text: str, threshold_elems: int,
+                               context: str = "") -> None:
+    """Fail if any all-gather result reaches `threshold_elems` elements.
+
+    `threshold_elems` should be the smallest V-sharded band activation
+    (V_band_min * batch * min_feat): an all-gather that large means a
+    sharded band tensor was replicated instead of halo-exchanged.
+    """
+    sizes = all_gather_sizes(hlo_text)
+    big = [s for s in sizes if s >= threshold_elems]
+    assert not big, (
+        f"{context}: {len(big)} all-gather op(s) at sizes {sorted(big)[-3:]} "
+        f">= band-activation threshold {threshold_elems}; the V-sharded "
+        f"band path must use collective-permute halos, not all-gather"
+    )

@@ -253,8 +253,18 @@ def test_halo_model_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out_pose), np.asarray(ref_pose),
                                rtol=1e-4, atol=1e-4)
 
-    # collective audit: halo => collective-permute present; band activations
-    # must not be all-gathered (small dense/joint levels may replicate, but
-    # a V-sharded band hop via all-gather would move whole activations)
+    # collective audit: halo => collective-permute present, AND no
+    # all-gather at finest-band-conv-activation size (parallel.audit parses
+    # result shapes; presence of collective-permute alone can't prove the
+    # negative).  Bounded smaller gathers remain legitimate: inter-level
+    # upsample reshards the coarse level, the final un-permute gathers the
+    # (V, B, 3) output.
+    from pose2mesh_release_tpu.parallel.audit import assert_no_large_all_gather
+
     hlo = f.lower(variables, art_s, batch_s["pose2d"]).compile().as_text()
     assert "collective-permute" in hlo
+    band_vmax = max(op.num_vertices for op in art.mesh_ops
+                    if op.kind == "band")
+    fin_finest = base_model.blocks[-1][0]
+    assert_no_large_all_gather(hlo, band_vmax * 4 * fin_finest,
+                               context="halo model forward")
