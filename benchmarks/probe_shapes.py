@@ -73,12 +73,20 @@ def timeloop(step, x0, work, unit, name, small=8, large=520):
 
 def probe_xla(M, K, N):
     rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
-    x = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        A = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.bfloat16)
     A, x = jax.device_put((A, x), jax.devices()[0])
-    # chain through the carry: out's first K rows become the next rhs
-    timeloop(lambda c: (A @ c)[:K], x, 2 * M * K * N, "TF/s",
-             f"xla {M}x{K}x{N}")
+
+    def step(c):
+        y = A @ c
+        # the row-sum consumes EVERY output row, so XLA cannot narrow the
+        # dot to the K rows the next iteration's rhs slice uses (DCE hole
+        # that inflated earlier numbers ~18x)
+        return y[:K] + y.sum(axis=0, keepdims=True) * jnp.bfloat16(1e-30)
+
+    timeloop(step, x, 2 * M * K * N, "TF/s", f"xla {M}x{K}x{N}")
 
 
 def probe_pallas(M, K, N, R):
@@ -89,11 +97,13 @@ def probe_pallas(M, K, N, R):
 
     def kernel(a_ref, x_ref, o_ref):
         def body(i, c):
-            # rhs c changes every iteration (one vreg nudged by the previous
-            # product), so the dot can't be loop-hoisted and iterations chain
+            # rhs c changes every iteration (top rows nudged by the previous
+            # product's full-row reduction), so the dot can't be hoisted,
+            # iterations chain, and no output row is dead
             y = jnp.dot(a_ref[:], c, preferred_element_type=jnp.float32)
-            nudge = (y[0:8, 0:128] * 1e-30).astype(c.dtype) + c[0:8, 0:128]
-            return jax.lax.dynamic_update_slice(c, nudge, (0, 0))
+            nudge = (y[0:8, :] + y.sum(axis=0, keepdims=True)) * 1e-30
+            return jnp.concatenate(
+                [c[0:8, :] + nudge.astype(c.dtype), c[8:, :]], axis=0)
 
         c = jax.lax.fori_loop(0, R, body, x_ref[:])
         o_ref[:] = c[:1]
@@ -116,13 +126,15 @@ def probe_pallas(M, K, N, R):
 
 
 def probe_hbm():
-    n = 64 * 1024 * 1024 // 2  # 64 MB bf16
+    rows, cols = 16384, 2048  # 64 MB bf16
     cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
     with jax.default_device(cpu):
-        x = jnp.ones((n,), jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((rows, cols)), jnp.bfloat16)
     x = jax.device_put(x, jax.devices()[0])
-    # read + write 64 MB per iter
-    timeloop(lambda c: c + jnp.bfloat16(1.0), x, 2 * n * 2 / 1e3, "TB/s",
+    # read + write 64 MB per iter; row-roll defeats any closed-form folding
+    timeloop(lambda c: jnp.roll(c, 1, axis=0) + jnp.bfloat16(1.0), x,
+             2 * rows * cols * 2, "TB/s",
              "hbm copy (read+write)", small=8, large=1032)
 
 

@@ -158,6 +158,157 @@ def banded_hop(op: LevelOperator, x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# commuted deploy kernel: project first, hop on OUTPUT-width lanes
+# ---------------------------------------------------------------------------
+#
+# L acts on the vertex axis and W on the feature axis, so they commute:
+#     y = x W0 + (Lx) W1 + (2L(Lx) - x) W2
+#       = x (W0 - W2) + L( x W1 + 2 L (x W2) )
+# When Fout < Fin this moves BOTH hops from Fin-wide to Fout-wide lanes —
+# the 256->128 / 128->64 / 64->3 down-convs of the SMPL schedule cut their
+# hop FLOPs 2-16x (the hop contracts a (2k+1)T-wide dense window per tile,
+# ~55x the nnz-minimal work, so lane width is the only hop knob left after
+# bandwidth minimization; VERDICT r2 task 1).
+#
+# Lane packing: Fout lanes per batch element must stay 128-aligned inside
+# Mosaic's (T, BC*F) <-> (T*BC, F) reshapes, so for Fout_pad < 128 the
+# caller passes gr = 128 // Fout_pad and kron(I_gr, W)-expanded weights;
+# the kernel then views rows as (T*BC/gr, gr*F) and produces u/t/y in
+# gr-packed 128-lane groups.  The output keeps Fout_pad lanes per batch
+# element (batch-major), which downstream packed convs consume directly.
+
+def _commuted_kernel_factory(T, BC, F, Fo, m, k=1, gr=1, relu=False):
+    """m output row-tiles per program.  Window layout identical to
+    _fused_kernel_factory (x refs t*m + [-2k..m-1+2k], band rows
+    t*m + [-k..m-1+k]).  W ref rows: [kron(I_gr, W0-W2); kron(I_gr, W1);
+    kron(I_gr, W2)] each gr*F tall, gr*Fo == 128-aligned wide."""
+    nbd = 2 * k + 1
+    n_band = m + 2 * k
+    n_x = m + 4 * k
+
+    def kernel(*refs):
+        band_refs = refs[:n_band]
+        x_refs = refs[n_band:n_band + n_x]
+        w_ref, bias_ref, out_ref = refs[n_band + n_x:]
+        dt = out_ref.dtype
+        gF, gFo = gr * F, gr * Fo
+
+        def proj(xv, s):
+            # (T, BC*F) -> (T*BC/gr, gr*F) @ (gr*F, gr*Fo) -> (T, BC*Fo)
+            rows = xv.reshape(T, BC // gr, gF).reshape(T * BC // gr, gF)
+            w = w_ref[s * gF:(s + 1) * gF, :]
+            y = jnp.dot(rows, w, preferred_element_type=jnp.float32)
+            return y.reshape(T, BC // gr, gFo).reshape(T, BC * Fo)
+
+        xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
+        # u = x @ W2 for every tile the two chained hops reach
+        us = [proj(x, 2).astype(dt) for x in xs]
+        uall = jnp.concatenate(us, axis=0)            # ((m+4k)*T, BC*Fo)
+
+        def hop(br, src, lo):
+            window = jax.lax.slice_in_dim(src, lo * T, lo * T + nbd * T, axis=0)
+            return jnp.dot(br[0], window, preferred_element_type=jnp.float32)
+
+        # t = x @ W1 + 2 L u   for tiles t*m + a, a in [-k .. m-1+k]
+        ts = [(proj(xs[a + 2 * k], 1)
+               + 2.0 * hop(band_refs[a + k], uall, a + k)).astype(dt)
+              for a in range(-k, m + k)]
+        tall = jnp.concatenate(ts, axis=0)            # ((m+2k)*T, BC*Fo)
+
+        for j in range(m):
+            acc = proj(xs[j + 2 * k], 0)              # x @ (W0 - W2)
+            acc += hop(band_refs[j + k], tall, j)
+            acc += bias_ref[0][None, :].astype(jnp.float32)
+            if relu:
+                acc = jnp.maximum(acc, 0.0)
+            out_ref[j * T:(j + 1) * T, :] = acc.astype(dt)
+
+    return kernel
+
+
+def fused_conv_flat_commuted(op: LevelOperator, x2: jax.Array, batch: int,
+                             W: jax.Array, b: jax.Array, *,
+                             relu: bool = False) -> jax.Array:
+    """Deploy-only commuted Chebyshev conv on the flat layout.
+
+    x2: (Vp, batch*Fp) with Fp = x2.shape[1] // batch (128-aligned).
+    W: (3*Fp, Fo_pad) basis-major [W0c=W0-W2; W1; W2], Fo_pad a divisor or
+       multiple of 128 (the caller pads fout up to the nearest power-of-two
+       lane quantum); bias b: (Fo_pad,).
+    Returns (Vp, batch*Fo_pad) — for Fo_pad < 128 the output lanes stay
+    batch-major packed (no 128-lane zero padding), which the next packed
+    conv or a trailing XLA reshape consumes directly.
+    No VJP: training keeps the canonical path.
+    """
+    T = op.block_size
+    band_val = op.band_val
+    nbd, nt = band_val.shape[0], band_val.shape[1]
+    k = nbd // 2
+    Vp, C = x2.shape
+    assert Vp == nt * T, (Vp, nt, T)
+    F = C // batch
+    Fo = W.shape[1]
+    assert W.shape[0] == 3 * F, (W.shape, F)
+    assert 128 % Fo == 0 or Fo % 128 == 0, Fo
+    gr = max(128 // Fo, 1)
+    m = _pick_m(nt, require_divisor=True, k=k)
+    lane_cap = int(os.environ.get("P2M_FUSED_LANES", "2048"))
+    BC = gr
+    for c in range(1, batch + 1):
+        if batch % c == 0 and c % gr == 0 and c * F <= lane_cap:
+            BC = c
+    assert batch % BC == 0 and BC % gr == 0, (batch, BC, gr)
+    ncc = batch // BC
+
+    # kron-expand each basis block to gr-packed form; bias tiled across the
+    # full lane chunk (the kernel's accumulator lives in lane form)
+    if gr > 1:
+        eye = jnp.eye(gr, dtype=W.dtype)
+        blocks = [jnp.kron(eye, W[s * F:(s + 1) * F]) for s in range(3)]
+        Wk = jnp.concatenate(blocks, axis=0)          # (3*gr*F, gr*Fo)
+    else:
+        Wk = W
+    bk = jnp.tile(b, BC)                              # (BC*Fo,)
+
+    def bspec(shift):
+        return pl.BlockSpec(
+            (1, T, nbd * T),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def xspec(shift):
+        return pl.BlockSpec(
+            (T, BC * F),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt - 1), c),
+            memory_space=pltpu.VMEM)
+
+    band_in = _band_cat(band_val.astype(x2.dtype))
+    in_specs = [bspec(s) for s in range(-k, m + k)]
+    operands = [band_in] * (m + 2 * k)
+    in_specs += [xspec(i) for i in range(-2 * k, m + 2 * k)]
+    operands += [x2] * (m + 4 * k)
+    in_specs.append(pl.BlockSpec((3 * gr * F, gr * Fo), lambda c, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(Wk.astype(x2.dtype))
+    in_specs.append(pl.BlockSpec((1, BC * Fo), lambda c, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(bk.reshape(1, -1).astype(x2.dtype))
+
+    return pl.pallas_call(
+        _commuted_kernel_factory(T, BC, F, Fo, m, k, gr, relu),
+        grid=(ncc, nt // m),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m * T, BC * Fo), lambda c, t: (t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, batch * Fo), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
 # fully fused conv kernel: two hops + basis projection in one pass
 # ---------------------------------------------------------------------------
 #

@@ -187,3 +187,37 @@ def test_flat_window_matches_group_kernel(k, variant):
     assert y_group.shape == y_window.shape
     np.testing.assert_allclose(np.asarray(y_group), np.asarray(y_window),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("fo", [128, 64, 8])
+def test_flat_commuted_kernel_matches_reference(k, fo):
+    """fused_conv_flat_commuted (project-first, hops on Fout-wide lanes,
+    gr-packed output for Fout < 128) == the canonical Chebyshev conv."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat_commuted
+
+    op = _synthetic_band_op(k)
+    nt, T = op.band_val.shape[1], op.block_size
+    Vp = nt * T
+    V = op.num_vertices
+    # gr = 128 // fo batch elements share each 128-lane group, so batch
+    # must be a multiple of gr (the production call sites satisfy this:
+    # fo=8 only occurs at the packed final conv with batch' = 32)
+    B, F = max(128 // fo, 4), 128
+    rng = np.random.default_rng(6)
+    x3 = jnp.asarray(rng.standard_normal((V, B, F)) * 0.3, jnp.float32)
+    W0, W1, W2 = (jnp.asarray(rng.standard_normal((F, fo)) * 0.05, jnp.float32)
+                  for _ in range(3))
+    b = jnp.asarray(rng.standard_normal((fo,)) * 0.1, jnp.float32)
+
+    # canonical reference via the tested hop path
+    z1 = spmm_band(op, x3)
+    z2 = 2.0 * spmm_band(op, z1) - x3
+    y_ref = jnp.maximum(x3 @ W0 + z1 @ W1 + z2 @ W2 + b, 0.0)  # (V, B, fo)
+
+    x2 = jnp.pad(x3.reshape(V, B * F), ((0, Vp - V), (0, 0)))
+    Wc = jnp.concatenate([W0 - W2, W1, W2], axis=0)  # commuted basis-major
+    y = fused_conv_flat_commuted(op, x2, B, Wc, b, relu=True)
+    assert y.shape == (Vp, B * fo)
+    np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, fo)),
+                               np.asarray(y_ref), rtol=1e-4, atol=1e-4)
