@@ -113,16 +113,17 @@ def measure_forward(model, art, variables, pose2d, *, device=None) -> float:
     return max(min(t_large) - min(t_small), 1e-9) / (large - small)
 
 
-def _roofline_report(art, batch_size):
-    """Per-band-level fused-conv cost model -> stderr table; returns the
-    summed speed-of-light estimate for the band convs (seconds)."""
-    from pose2mesh_release_tpu.models.meshnet import SMPL_BLOCKS
-    from pose2mesh_release_tpu.utils.profiling import fused_conv_roofline
+def _band_conv_shapes(art, batch_size):
+    """Mirror MeshNet's deploy dispatch: yield, per band-level conv, the
+    level op and the effective (batch, in-lanes, out-lanes) after lane /
+    output packing, plus the real (fin, fout) channel counts."""
+    import os
 
+    from pose2mesh_release_tpu.models.meshnet import SMPL_BLOCKS
+
+    from pose2mesh_release_tpu.ops.pallas_cheby import _FLAT_IMPL_DEFAULT
+    strip_on = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT) == "strip"
     n_mesh = len(art.mesh_ops)
-    total_ideal = 0.0
-    print("# roofline (fused conv model, v5e sustained 100TF/s bf16, "
-          "1.1TB/s):", file=sys.stderr)
     for i, chans in enumerate(SMPL_BLOCKS):
         if i == 0 or i == len(SMPL_BLOCKS) - 1:
             op = art.mesh_ops[0] if i else art.joint_op
@@ -130,21 +131,113 @@ def _roofline_report(art, batch_size):
             op = art.mesh_ops[n_mesh - i]
         if op.kind != "band":
             continue
+        pack_g = 1
         for li in range(len(chans) - 1):
             fin, fout = chans[li], chans[li + 1]
-            pack = 128 // fin if (fin < 128 and 128 % fin == 0
-                                  and batch_size % (128 // fin) == 0) else 1
-            fl = 128 if pack > 1 else -(-fin // 128) * 128
-            fo = 128 // pack * pack if pack > 1 else -(-fout // 128) * 128
-            r = fused_conv_roofline(op, batch_size // pack, fl, fo,
-                                    m=8 if op.band_k >= 2 else 4)
-            total_ideal += r.ideal_us * 1e-6
-            print(f"#   V={op.num_vertices:5d} k={op.band_k} conv {fin:3d}->"
-                  f"{fout:3d}: ideal {r.ideal_us:7.1f} us ({r.bound}-bound, "
-                  f"{r.flops/1e9:.1f} GF)", file=sys.stderr)
-    print(f"#   band convs speed-of-light total: {total_ideal*1e3:.2f} ms",
+            gin = (128 // fin if fin < 128 and 128 % fin == 0
+                   and batch_size % (128 // fin) == 0 else 1)
+            gin = max(gin, pack_g)
+            beff = batch_size // gin
+            fl = 128 if gin > 1 else -(-fin // 128) * 128
+            strip_ok = strip_on and op.strip_h and op.strip_val.size
+            if gin > 1:
+                # packed path pads each element's output to its full
+                # 128/g lane share (ChebConv packed branch)
+                fo = 128
+            elif strip_ok and fout < 128 and i == len(SMPL_BLOCKS) - 1:
+                fo_p = 1
+                while fo_p < fout or 128 % fo_p:
+                    fo_p *= 2
+                if (128 // fo_p) * max(fl, fo_p) <= 1024 and \
+                        batch_size % (128 // fo_p) == 0:
+                    fo = fo_p  # out-packed down-conv (flat_out_pack)
+                    pack_g = 128 // fo_p
+                else:
+                    fo = -(-fout // 128) * 128
+            else:
+                fo = -(-fout // 128) * 128
+            yield op, i, fin, fout, beff, fl, fo
+
+
+def _roofline_report(art, batch_size, measure=False):
+    """Dual roofline per band-level conv (VERDICT r2 task 2): the ACTIVE
+    layout's bound (strip when packed, else band/group), the band-layout
+    bound, and the honest nnz-minimal sparse bound — plus, when measure=
+    True, the MEASURED per-conv kernel time through the production
+    dispatch.  Returns (active-bound total seconds, rows for the JSON)."""
+    from pose2mesh_release_tpu.utils.profiling import (
+        fused_conv_roofline, sparse_conv_roofline, strip_conv_roofline)
+
+    rows = []
+    total_ideal = 0.0
+    print("# dual roofline per band conv (us; strip/band at measured "
+          "sustained MXU rates, sparse = nnz-minimal honest floor):",
           file=sys.stderr)
-    return total_ideal
+    for op, i, fin, fout, beff, fl, fo in _band_conv_shapes(art, batch_size):
+        r_strip = (strip_conv_roofline(op, beff, fl, fo)
+                   if op.strip_h else None)
+        r_band = fused_conv_roofline(op, beff, fl, -(-fo // 128) * 128,
+                                     m=8 if op.band_k >= 2 else 4)
+        r_sparse = sparse_conv_roofline(op, batch_size, fin, fout)
+        active = r_strip or r_band
+        total_ideal += active.ideal_us * 1e-6
+        row = {
+            "level_V": int(op.num_vertices), "conv": f"{fin}->{fout}",
+            "strip_us": round(r_strip.ideal_us, 1) if r_strip else None,
+            "band_us": round(r_band.ideal_us, 1),
+            "sparse_us": round(r_sparse.ideal_us, 1),
+        }
+        if measure:
+            row["measured_us"] = round(_measure_conv(
+                op, beff, fl, fo, batch_size) * 1e6, 1)
+        rows.append(row)
+        meas = (f" measured {row['measured_us']:7.1f}"
+                if measure else "")
+        print(f"#   V={op.num_vertices:5d} conv {fin:3d}->{fout:3d}: "
+              f"strip {row['strip_us'] or float('nan'):7.1f}  band "
+              f"{row['band_us']:7.1f}  sparse {row['sparse_us']:7.1f}"
+              f"{meas}", file=sys.stderr)
+    print(f"#   active-layout bound total: {total_ideal*1e3:.2f} ms",
+          file=sys.stderr)
+    return total_ideal, rows
+
+
+def _measure_conv(op, beff, fl, fo, batch_size):
+    """Time one deploy conv through the production dispatch (relay-safe
+    scan differencing, min over repeats)."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat_dispatch
+
+    dt = jnp.bfloat16
+    Vp = op.padded_vertices
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x2 = jnp.asarray(rng.standard_normal((Vp, beff * fl)) * 0.3, dt)
+        W = jnp.asarray(rng.standard_normal((3 * fl, fo)) * 0.05, dt)
+        b = jnp.asarray(rng.standard_normal((fo,)) * 0.1, dt)
+    dev = jax.devices()[0]
+    op_d, x2, W, b = jax.device_put((op, x2, W, b), dev)
+    out_pack = max(128 // fo, 1) if fo < 128 else 1
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(n, x):
+        def body(c, _):
+            y = fused_conv_flat_dispatch(op_d, c, beff, W, b, relu=True,
+                                         out_pack=out_pack)
+            pad = c.shape[1] - y.shape[1]
+            if pad:
+                y = jnp.concatenate([y, c[:, :pad]], axis=1)
+            return (c + y * jnp.asarray(1e-30, c.dtype)).astype(c.dtype), ()
+        y, _ = jax.lax.scan(body, x, None, length=n)
+        return y.astype(jnp.float32).mean()
+
+    small, large = 4, 68
+    float(loop(small, x2)); float(loop(large, x2))
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.time(); float(loop(small, x2)); ts.append(time.time() - t0)
+        t0 = time.time(); float(loop(large, x2)); tl.append(time.time() - t0)
+    return max(min(tl) - min(ts), 1e-9) / (large - small)
 
 
 def main():
@@ -152,12 +245,14 @@ def main():
     t0 = time.time()
     model, art, variables, pose2d = build(batch_size)
     print(f"# setup {time.time()-t0:.1f}s; levels={art.level_sizes}", file=sys.stderr)
-    ideal_band = _roofline_report(art, batch_size)
+    measure_levels = os.environ.get("P2M_BENCH_LEVELS", "1") == "1"
+    ideal_band, roof_rows = _roofline_report(art, batch_size,
+                                             measure=measure_levels)
 
     per_iter = measure_forward(model, art, variables, pose2d)
     meshes_per_sec = batch_size / per_iter
     print(f"# forward {per_iter*1000:.2f} ms/batch{batch_size} "
-          f"(band-conv speed-of-light {ideal_band*1e3:.2f} ms; "
+          f"(active-layout band-conv bound {ideal_band*1e3:.2f} ms; "
           f"gap covers dense levels, gathers, PoseNet, fc)", file=sys.stderr)
 
     print(json.dumps({
@@ -165,6 +260,8 @@ def main():
         "value": round(meshes_per_sec, 1),
         "unit": "meshes/s",
         "vs_baseline": round(meshes_per_sec / TARGET_MESHES_PER_SEC, 3),
+        "forward_ms_batch64": round(per_iter * 1e3, 3),
+        "rooflines": roof_rows,
     }))
 
 

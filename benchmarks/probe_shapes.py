@@ -49,10 +49,17 @@ DEFAULT = [
 ]
 
 
-def timeloop(step, x0, work, unit, name, small=8, large=520):
+def timeloop(step, x0, work, unit, name, small=8, large=None):
     """Relay-safe: device->host fetch noise is 30-900ms, so the iteration
-    delta must represent >=100ms of device time.  Callers with heavy
-    per-iteration work pass smaller windows."""
+    delta must represent >=1s of device time.  When `large` is None it is
+    sized from `work` (FLOPs or bytes per iteration) assuming the device
+    peak, so cheap shapes get proportionally more iterations — the round-2
+    probe under-iterated cheap shapes and printed physically impossible
+    rates (>197 TF/s), which is how the 198-vs-100 TF/s contradiction
+    (VERDICT r2 Weak #2) arose."""
+    if large is None:
+        peak = 197e12 if unit == "TF/s" else 0.8e12
+        large = small + max(16, int(1.0 / (work / peak)))
     @functools.partial(jax.jit, static_argnums=0)
     def loop(n, x):
         def body(c, _):
@@ -121,8 +128,101 @@ def probe_pallas(M, K, N, R):
         return c.at[:1].add(f(A, c) * 1e-30)
 
     timeloop(step, x, 2 * M * K * N * R, "TF/s",
-             f"pallas {M}x{K}x{N} (VMEM-resident, x{R})",
-             small=2, large=2 + max(1, 2048 // R))
+             f"pallas {M}x{K}x{N} (VMEM-resident, x{R})", small=2)
+
+
+def probe_striphop(Vp, W, C, h, align):
+    """The strip kernel's H1 loop in isolation: fori over Vp/h row tiles,
+    each a (h, W) @ (W, C) dot with a dynamic x-window slice whose start is
+    `align`-sublane aligned.  Isolates the dynamic-slice / loop overhead
+    the fused kernels pay on top of the raw matmul rate (compare with
+    pallas:<h>x<W>x<C>)."""
+    from jax.experimental.pallas import tpu as pltpu2
+
+    rng = np.random.default_rng(0)
+    nt = Vp // h
+    strip = jnp.asarray(rng.standard_normal((Vp, W)) * 0.05, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((Vp, C)) * 0.1, jnp.bfloat16)
+    strip, x = jax.device_put((strip, x), jax.devices()[0])
+
+    def kernel(s_ref, x_ref, o_ref):
+        def body(j, c):
+            raw = j * h + (h - W) // 2
+            o = jnp.clip((raw // align) * align, 0, Vp - W)
+            win = x_ref[pl.ds(pl.multiple_of(o, align), W), :]
+            sj = s_ref[pl.ds(j * h, h), :]
+            o_ref[pl.ds(j * h, h), :] = jnp.dot(
+                sj, win, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+            return c
+        jax.lax.fori_loop(0, nt, body, 0)
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, C), jnp.bfloat16),
+        compiler_params=pltpu2.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(c):
+        return c + f(strip, c) * jnp.bfloat16(1e-30)
+
+    timeloop(step, x, 2 * Vp * W * C, "TF/s",
+             f"striphop Vp={Vp} {h}x{W}x{C} align={align}", small=4)
+
+
+def probe_stripgrid(Vp, W, C, h, m):
+    """Design probe for the grid-scheduled strip hop: grid over row-tile
+    groups (m tiles per program, Pallas pipelines programs), x and strip
+    whole-level resident (fetched once), ONE dynamic window read per
+    matmul, STATIC stores to the output block.  If this reaches the
+    static-shape pallas rate, the fused strip conv should be rebuilt on
+    the grid schedule instead of in-kernel fori loops."""
+    from jax.experimental.pallas import tpu as pltpu2
+
+    rng = np.random.default_rng(0)
+    nt = Vp // h
+    ntg = nt // m
+    strip = jnp.asarray(rng.standard_normal((Vp, W)) * 0.05, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((Vp, C)) * 0.1, jnp.bfloat16)
+    strip, x = jax.device_put((strip, x), jax.devices()[0])
+
+    def kernel(s_ref, x_ref, o_ref):
+        t = pl.program_id(0)
+        for j in range(m):
+            g = t * m + j
+            raw = g * h + (h - W) // 2
+            o = jnp.clip((raw // 16) * 16, 0, Vp - W)
+            win = x_ref[pl.ds(pl.multiple_of(o, 16), W), :]
+            sj = s_ref[pl.ds(g * h, h), :]
+            o_ref[j * h:(j + 1) * h, :] = jnp.dot(
+                sj, win, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(ntg,),
+        in_specs=[pl.BlockSpec((Vp, W), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Vp, C), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m * h, C), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, C), jnp.bfloat16),
+        compiler_params=pltpu2.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(c):
+        return c + f(strip, c) * jnp.bfloat16(1e-30)
+
+    timeloop(step, x, 2 * Vp * W * C, "TF/s",
+             f"stripgrid Vp={Vp} {h}x{W}x{C} m={m}", small=4)
 
 
 def probe_hbm():
@@ -150,6 +250,12 @@ def main():
             M, K, N = map(int, parts[1].split("x"))
             R = int(parts[2]) if len(parts) > 2 else 64
             probe_pallas(M, K, N, R)
+        elif p.startswith("striphop:"):
+            Vp, W, C, h, align = map(int, p.split(":")[1].split("x"))
+            probe_striphop(Vp, W, C, h, align)
+        elif p.startswith("stripgrid:"):
+            Vp, W, C, h, m = map(int, p.split(":")[1].split("x"))
+            probe_stripgrid(Vp, W, C, h, m)
         else:
             raise SystemExit(f"unknown probe {p}")
 

@@ -96,6 +96,11 @@ class ChebConv(nn.Module):
     # computes all g elements — halves (g=2) the hop FLOPs and HBM bytes of
     # sub-128-channel segments vs zero-padding each batch element to 128
     lane_pack: int = 1
+    # output packing (strip kernel only, see ops.pallas_cheby.flat_out_pack):
+    # emit gr-packed (128 // gr)-lane outputs instead of 128-padded ones —
+    # the commuted hops then contract gr-fold fewer lanes, and the
+    # downstream packed conv consumes the layout with no repack copy
+    out_pack: int = 1
     # explicit vertex-dim model parallelism: when a ('data','graph') Mesh
     # with graph axis > 1 is given, band-level hops run through the
     # shard_map + ppermute halo exchange (parallel.halo) instead of letting
@@ -139,6 +144,16 @@ class ChebConv(nn.Module):
                     bp.astype(self.dtype), relu=self.use_relu,
                     skip=skip, skip_w=skip_w, out_3d=out_3d)
             Fp = x.shape[1] // B
+            if self.out_pack > 1:
+                # gr-packed output: pad fout only to its 128/gr lane share
+                assert skip is None and not out_3d
+                Fop = 128 // self.out_pack
+                w = jnp.pad(w, ((0, 0), (0, Fp - fin), (0, Fop - self.fout)))
+                bp = jnp.pad(bias, (0, Fop - self.fout))
+                return fused_conv_flat(
+                    op, x, B, w.reshape(self.K * Fp, Fop).astype(self.dtype),
+                    bp.astype(self.dtype), relu=self.use_relu,
+                    out_pack=self.out_pack)
             Fop = -(-self.fout // 128) * 128
             w = jnp.pad(w, ((0, 0), (0, Fp - fin), (0, Fop - self.fout)))
             bp = jnp.pad(bias, (0, Fop - self.fout))
@@ -297,19 +312,32 @@ class MeshNet(nn.Module):
                               if fin_cur < 128 and 128 % fin_cur == 0 else 1)
                     if want_g > pack_g and B % want_g == 0:
                         # batch-major lanes reshape cleanly at any packing
+                        # (a no-op when the producing conv out-packed)
                         x = x.reshape(x.shape[0], B, -1)[:, :, :fin_cur]
                         x = x.reshape(x.shape[0], (B // want_g) * 128)
                         pack_g = want_g
+                out_pack = 1
+                if (block_flat and i == n_blocks - 1 and not last_conv
+                        and pack_g == 1 and skip is None
+                        and chans[li + 1] < 128):
+                    # strip kernel: emit the down-conv gr-packed so its hops
+                    # contract only the real output lanes and the next
+                    # conv's repack above becomes a no-op
+                    from ..ops.pallas_cheby import flat_out_pack
+                    out_pack = flat_out_pack(op, B, x.shape[1] // B,
+                                             chans[li + 1])
                 x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
                              use_pallas=self.use_pallas,
                              use_bn=not last_conv, use_relu=not last_conv,
                              inference_fused=self.inference_fused,
                              flat_batch=B if block_flat else 0,
                              fin=chans[li] if block_flat else 0,
-                             lane_pack=pack_g,
+                             lane_pack=pack_g, out_pack=out_pack,
                              spmd_mesh=self.spmd_mesh)(
                     op, x, train, skip=skip, skip_w=skip_w,
                     out_3d=last_conv and block_flat)
+                if out_pack > 1:
+                    pack_g = out_pack
             if block_flat and i == n_blocks - 1:
                 flat = False  # final conv wrote 3-D directly
                 if pack_g > 1:  # (Vp, B//g, g*fout_p) -> (Vp, B, fout_p)

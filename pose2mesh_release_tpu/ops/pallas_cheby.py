@@ -12,8 +12,11 @@ hop with the 2k+1 band blocks concatenated along the contraction dim
 
     out[t, c] = band_cat[t] @ concat(x[t-k..t+k])[, c]
 
-K = nbd*T = 384 sustains ~1.6x the MXU rate of 2k+1 separate K=128
-matmuls on v5e (measured ~198 vs ~125 TF/s bf16).  Boundary tiles multiply
+K = nbd*T = 384 concatenation turns 2k+1 K=128 matmuls into one: the
+corrected shape probe (benchmarks/probe_shapes.py, round-3 notes) measures
+171 TF/s at (128,384)@(384,2048) vs 92 TF/s at K=N=128 shapes — the round-2
+"~198 TF/s" figure was an under-iterated probe artifact (the measurement
+delta sat below the relay's fetch noise).  Boundary tiles multiply
 an all-zero band block (guaranteed by the packing), so index clamping needs
 no masking.  The custom VJP exploits L's symmetry: the backward of a hop is
 the same hop on the cotangent.  Gradients w.r.t. the Laplacian blocks are
@@ -43,20 +46,66 @@ __all__ = ["banded_hop", "fused_cheby_project", "fused_cheby_project_relu",
            "fused_conv_flat", "fused_conv_flat_dispatch", "pallas_supported"]
 
 
+# measured on v5e (benchmarks/ab_conv.py, round-3 notes): the whole-level
+# fori-loop strip schedule sustains only 34-64 TF/s on its hop matmuls
+# (dynamic-slice loops don't pipeline), so despite its ~20% FLOP cut it
+# ties/loses to the grid-pipelined group kernel; 'group' stays the default
+# until the grid-scheduled strip variant lands
+_FLAT_IMPL_DEFAULT = "group"
+
+
 def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
-    """Deploy flat-conv entry point: picks the whole-level windowed kernel
-    (ops.pallas_window) when supported, else the row-tile-group kernel.
-    P2M_FLAT_IMPL={window,group} overrides for A/B measurement; unknown
-    values raise (a typo must not silently change which kernel is
-    measured)."""
-    impl = os.environ.get("P2M_FLAT_IMPL", "group")
-    if impl not in ("window", "group"):
-        raise ValueError(f"P2M_FLAT_IMPL={impl!r}: expected 'window' or 'group'")
+    """Deploy flat-conv entry point: picks the strip kernel (narrow-window
+    commuted, ops.pallas_strip) when the level carries the strip form, else
+    the whole-level windowed kernel (ops.pallas_window) if requested, else
+    the row-tile-group kernel.  P2M_FLAT_IMPL={strip,window,group} overrides
+    for A/B measurement; unknown values raise (a typo must not silently
+    change which kernel is measured)."""
+    impl = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT)
+    if impl not in ("strip", "window", "group"):
+        raise ValueError(
+            f"P2M_FLAT_IMPL={impl!r}: expected 'strip', 'window' or 'group'")
+    if impl == "strip":
+        from .pallas_strip import fused_conv_flat_strip, strip_supported
+        if strip_supported(op, batch=batch, lanes=x2.shape[1] // batch,
+                           fo_lanes=W.shape[1]):
+            return fused_conv_flat_strip(op, x2, batch, W, b, **kw)
+    if kw.get("out_pack", 1) > 1:
+        # packed output changes the result SHAPE: callers request it only
+        # after flat_out_pack() said strip will run, so reaching another
+        # kernel here is a bug, not a fallback
+        raise ValueError("out_pack requested but the strip kernel was not "
+                         "selected (see flat_out_pack)")
+    kw.pop("out_pack", None)
     if impl == "window":
         from .pallas_window import fused_conv_flat_window, window_supported
         if window_supported(op, batch=batch, lanes=x2.shape[1] // batch):
             return fused_conv_flat_window(op, x2, batch, W, b, **kw)
     return fused_conv_flat(op, x2, batch, W, b, **kw)
+
+
+def flat_out_pack(op, batch: int, lanes: int, fout: int) -> int:
+    """Output packing factor the deploy dispatch can honor for a flat conv
+    emitting `fout` (< 128) channels: gr > 1 means the strip kernel will
+    emit gr-packed (128 // gr)-lane outputs (kron(I_gr, W) weights), saving
+    the zero-padded hop lanes AND the downstream repack copy.  1 = emit the
+    classic 128-padded layout."""
+    if fout >= 128 or os.environ.get("P2M_FLAT_IMPL",
+                                     _FLAT_IMPL_DEFAULT) != "strip":
+        return 1
+    fo_p = 1
+    while fo_p < fout or 128 % fo_p:
+        fo_p *= 2
+    gr = 128 // fo_p
+    lane_cap = int(os.environ.get("P2M_STRIP_LANES", "1024"))
+    # gr forces the batch chunk to a multiple of gr: keep the x chunk
+    # within the VMEM lane budget strip_supported assumes
+    if batch % gr or gr * max(lanes, fo_p) > lane_cap:
+        return 1
+    from .pallas_strip import strip_supported
+    if not strip_supported(op, batch=batch, lanes=lanes, fo_lanes=fo_p):
+        return 1
+    return gr
 
 
 def _interpret() -> bool:
@@ -82,8 +131,8 @@ def _col_chunk(C: int, target: int = 4096) -> int:
 def _band_cat(band_val: jax.Array) -> jax.Array:
     """(nbd, nt, T, T) -> (nt, T, nbd*T): per row-tile, the 2k+1 band blocks
     concatenated along the contraction dim, so one hop is ONE
-    (T, nbd*T) @ (nbd*T, C) MXU matmul — K=384 sustains ~1.6x the rate of
-    three K=128 matmuls on v5e (measured in BENCH notes)."""
+    (T, nbd*T) @ (nbd*T, C) MXU matmul instead of three K=128 issues
+    (measured 171 vs ~92 TF/s at the deploy shapes, round-3 probe notes)."""
     nbd, nt, T, _ = band_val.shape
     return band_val.transpose(1, 2, 0, 3).reshape(nt, T, nbd * T)
 

@@ -42,11 +42,14 @@ def _level_sharding(mesh: Mesh, op: LevelOperator) -> LevelOperator:
             band_val=put(op.band_val, rep),
             ell_idx=put(op.ell_idx, rep),
             ell_w=put(op.ell_w, rep),
+            strip_val=put(op.strip_val, rep),
             kind=op.kind, num_vertices=op.num_vertices,
             block_size=op.block_size, band_k=op.band_k,
+            strip_h=op.strip_h,
         )
     if op.kind == "band" and op.band_val.ndim == 4 and op.band_val.shape[1] % n_graph == 0:
-        # band_val: (nbd, nt, T, T) -> shard the row-tile dim over 'graph'
+        # band_val: (nbd, nt, T, T) -> shard the row-tile dim over 'graph';
+        # strip_val (deploy-only; the halo path hops on band_val) replicated
         graph_tiles = NamedSharding(mesh, P(None, "graph"))
         return LevelOperator(
             dense=put(op.dense, rep),
@@ -55,8 +58,10 @@ def _level_sharding(mesh: Mesh, op: LevelOperator) -> LevelOperator:
             band_val=put(op.band_val, graph_tiles),
             ell_idx=put(op.ell_idx, rep),
             ell_w=put(op.ell_w, rep),
+            strip_val=put(op.strip_val, rep),
             kind=op.kind, num_vertices=op.num_vertices,
             block_size=op.block_size, band_k=op.band_k,
+            strip_h=op.strip_h,
         )
     return jax.tree.map(lambda x: put(x, rep), op)
 

@@ -16,7 +16,9 @@ import numpy as np
 
 from ..graphs.artifact import LevelOperator, PyramidArtifact
 
-__all__ = ["trace", "spmm_roofline", "pyramid_roofline"]
+__all__ = ["trace", "spmm_roofline", "pyramid_roofline",
+           "fused_conv_roofline", "strip_conv_roofline",
+           "sparse_conv_roofline"]
 
 V5E_FLOPS = 197e12     # bf16 peak, per chip
 V5E_HBM_BW = 819e9     # bytes/s
@@ -113,6 +115,68 @@ def fused_conv_roofline(op: LevelOperator, batch: int, fin_lanes: int,
         + Vp * Co                                 # output write
     )
     t_compute = flops / mxu_flops
+    t_memory = bytes_ / V5E_HBM_BW
+    return Roofline(
+        flops=flops, hbm_bytes=float(bytes_),
+        intensity=float(flops / bytes_),
+        bound="compute" if t_compute > t_memory else "memory",
+        ideal_us=max(t_compute, t_memory) * 1e6,
+    )
+
+
+# sustained MXU rates measured on this chip at the deploy kernels' matmul
+# shapes (benchmarks/probe_shapes.py, committed in the round-3 bench notes):
+# hop (128, W)@(W, 1024) ~ 129-153 TF/s; basis projection (1024, 3F)@(3F, Fo)
+# and commuted K=F projections ~ 92-142 TF/s.  These replace the round-2
+# guess of 0.5*peak — and resolve its 198-vs-100 TF/s contradiction: 198 was
+# an under-iterated probe artifact, the real sustained band is 92-171.
+MXU_HOP = 135e12
+MXU_PROJ_BASIS = 142e12
+MXU_PROJ_COMMUTED = 92e12
+
+
+def strip_conv_roofline(op: LevelOperator, batch: int, fin_lanes: int,
+                        fout_lanes: int, dtype_bytes: int = 2) -> Roofline:
+    """Cost model of ONE strip-layout Chebyshev conv (ops.pallas_strip).
+
+    Hops contract the (h + 2*bandwidth)-wide strip window; commuted convs
+    (fout < fin) hop on fout lanes.  HBM traffic: x in, y out, strip rows
+    once (whole-level residency: no window refetch, no halo recompute)."""
+    if op.kind != "band" or op.strip_h == 0:
+        return fused_conv_roofline(op, batch, fin_lanes, fout_lanes)
+    Vp, W = (int(s) for s in op.strip_val.shape)
+    C = batch * fin_lanes
+    Co = batch * fout_lanes
+    commuted = fout_lanes < fin_lanes
+    hop_lanes = Co if commuted else C
+    flops = 2.0 * 2 * Vp * W * hop_lanes            # two strip hops
+    flops_p = 2.0 * 3 * Vp * fin_lanes * Co         # three basis projections
+    bytes_ = dtype_bytes * (Vp * C + Vp * Co + Vp * W)
+    t_compute = (2.0 * 2 * Vp * W * hop_lanes) / MXU_HOP + flops_p / (
+        MXU_PROJ_COMMUTED if commuted else MXU_PROJ_BASIS)
+    t_memory = bytes_ / V5E_HBM_BW
+    return Roofline(
+        flops=flops + flops_p, hbm_bytes=float(bytes_),
+        intensity=float((flops + flops_p) / bytes_),
+        bound="compute" if t_compute > t_memory else "memory",
+        ideal_us=max(t_compute, t_memory) * 1e6,
+    )
+
+
+def sparse_conv_roofline(op: LevelOperator, batch: int, fin_lanes: int,
+                         fout_lanes: int, dtype_bytes: int = 2) -> Roofline:
+    """The HONEST lower bound for one Chebyshev conv (VERDICT r2 task 2):
+    hop FLOPs counted at the nnz-minimal 2*nnz*C (the ELL view — no layout
+    can do less work), projections at bf16 peak, HBM floor of one x read +
+    one y write + the nnz operator stream.  No real MXU layout reaches
+    this; the gap to `strip_conv_roofline` is the price of dense tiles."""
+    C = batch * fin_lanes
+    Co = batch * fout_lanes
+    V = op.num_vertices
+    nnz = op.nnz
+    flops = 2.0 * 2 * nnz * max(C, Co) + 2.0 * 3 * V * fin_lanes * Co
+    bytes_ = dtype_bytes * (V * C + V * Co + 2 * nnz)
+    t_compute = flops / V5E_FLOPS
     t_memory = bytes_ / V5E_HBM_BW
     return Roofline(
         flops=flops, hbm_bytes=float(bytes_),

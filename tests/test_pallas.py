@@ -126,7 +126,8 @@ def test_fused_cheby_gradients(band_op):
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r), rtol=2e-4, atol=2e-3)
 
 
-def _synthetic_band_op(k: int, nt: int = 6, T: int = 128, seed: int = 0):
+def _synthetic_band_op(k: int, nt: int = 6, T: int = 128, seed: int = 0,
+                       strip_h: int = 0):
     """Random symmetric banded operator with block-bandwidth exactly k at
     tile size T (scalar bandwidth ~ k*T - T/2), via the production packer."""
     import scipy.sparse as sp
@@ -144,7 +145,7 @@ def _synthetic_band_op(k: int, nt: int = 6, T: int = 128, seed: int = 0):
     L = ((L + L.T) * 0.5).tocsr()
     # guarantee the extremal diagonals are populated so band_k == k
     L[0, bw] = L[bw, 0] = 0.1
-    op = _make_level_op(L, "band", T)
+    op = _make_level_op(L, "band", T, strip_h=strip_h)
     assert op.band_k == k, (op.band_k, k)
     return op
 
@@ -218,6 +219,84 @@ def test_flat_commuted_kernel_matches_reference(k, fo):
     x2 = jnp.pad(x3.reshape(V, B * F), ((0, Vp - V), (0, 0)))
     Wc = jnp.concatenate([W0 - W2, W1, W2], axis=0)  # commuted basis-major
     y = fused_conv_flat_commuted(op, x2, B, Wc, b, relu=True)
+    assert y.shape == (Vp, B * fo)
+    np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, fo)),
+                               np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("strip_h", [64, 128])
+@pytest.mark.parametrize("variant", ["plain", "skip_add", "skip_proj", "out_3d"])
+@pytest.mark.parametrize("mode", ["basis", "commuted"])
+def test_flat_strip_matches_group_kernel(k, strip_h, variant, mode,
+                                         monkeypatch):
+    """fused_conv_flat_strip (narrow-window commuted, whole-level resident)
+    is a drop-in for fused_conv_flat: equal outputs over band_k, strip tile
+    heights, residual epilogues, and the 3-D final write."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat
+    from pose2mesh_release_tpu.ops.pallas_strip import (
+        fused_conv_flat_strip, strip_supported)
+
+    op = _synthetic_band_op(k, strip_h=strip_h)
+    nt, T = op.band_val.shape[1], op.block_size
+    Vp = nt * T
+    # the synthetic band has scalar bandwidth ~ k*T - T/2: the strip window
+    # must be NARROWER than the (2k+1)*T block window (the layout's point)
+    assert op.strip_h == strip_h
+    assert op.strip_val.shape == (Vp, op.strip_val.shape[1])
+    assert op.strip_val.shape[1] < (2 * k + 1) * T
+    B, F, Fout = 4, 128, 128
+    rng = np.random.default_rng(5)
+    x2 = jnp.asarray(rng.standard_normal((Vp, B * F)) * 0.3, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((3 * F, Fout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Fout,)) * 0.1, jnp.float32)
+
+    kw = dict(relu=True)
+    if variant == "skip_add":
+        kw["skip"] = jnp.asarray(
+            rng.standard_normal((Vp, B * Fout)) * 0.3, jnp.float32)
+    elif variant == "skip_proj":
+        kw["skip"] = jnp.asarray(
+            rng.standard_normal((Vp, B * F)) * 0.3, jnp.float32)
+        kw["skip_w"] = jnp.asarray(
+            rng.standard_normal((F, Fout)) * 0.05, jnp.float32)
+    elif variant == "out_3d":
+        kw["out_3d"] = True
+
+    assert strip_supported(op, batch=B, lanes=F, fo_lanes=Fout)
+    monkeypatch.setenv("P2M_STRIP_MODE", mode)
+    y_group = fused_conv_flat(op, x2, B, W, b, **kw)
+    y_strip = fused_conv_flat_strip(op, x2, B, W, b, **kw)
+    assert y_group.shape == y_strip.shape
+    np.testing.assert_allclose(np.asarray(y_group), np.asarray(y_strip),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fo,gr", [(64, 2), (32, 4)])
+def test_flat_strip_output_packing(fo, gr):
+    """out_pack=gr emits gr-packed outputs (each element keeps only fo
+    lanes) matching the canonical conv, so downstream packed convs consume
+    them directly and both hops contract gr-fold fewer lanes."""
+    from pose2mesh_release_tpu.ops.pallas_strip import fused_conv_flat_strip
+
+    op = _synthetic_band_op(1, strip_h=64)
+    nt, T = op.band_val.shape[1], op.block_size
+    Vp = nt * T
+    V = op.num_vertices
+    B, F = 2 * gr, 128
+    rng = np.random.default_rng(7)
+    x3 = jnp.asarray(rng.standard_normal((V, B, F)) * 0.3, jnp.float32)
+    W0, W1, W2 = (jnp.asarray(rng.standard_normal((F, fo)) * 0.05, jnp.float32)
+                  for _ in range(3))
+    b = jnp.asarray(rng.standard_normal((fo,)) * 0.1, jnp.float32)
+
+    z1 = spmm_band(op, x3)
+    z2 = 2.0 * spmm_band(op, z1) - x3
+    y_ref = jnp.maximum(x3 @ W0 + z1 @ W1 + z2 @ W2 + b, 0.0)  # (V, B, fo)
+
+    x2 = jnp.pad(x3.reshape(V, B * F), ((0, Vp - V), (0, 0)))
+    W = jnp.concatenate([W0, W1, W2], axis=0)
+    y = fused_conv_flat_strip(op, x2, B, W, b, relu=True, out_pack=gr)
     assert y.shape == (Vp, B * fo)
     np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, fo)),
                                np.asarray(y_ref), rtol=1e-4, atol=1e-4)
