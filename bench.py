@@ -122,7 +122,8 @@ def _band_conv_shapes(art, batch_size):
     from pose2mesh_release_tpu.models.meshnet import SMPL_BLOCKS
 
     from pose2mesh_release_tpu.ops.pallas_cheby import _FLAT_IMPL_DEFAULT
-    strip_on = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT) == "strip"
+    impl = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT)
+    pack_capable = impl in ("strip", "group")
     n_mesh = len(art.mesh_ops)
     for i, chans in enumerate(SMPL_BLOCKS):
         if i == 0 or i == len(SMPL_BLOCKS) - 1:
@@ -139,7 +140,8 @@ def _band_conv_shapes(art, batch_size):
             gin = max(gin, pack_g)
             beff = batch_size // gin
             fl = 128 if gin > 1 else -(-fin // 128) * 128
-            strip_ok = strip_on and op.strip_h and op.strip_val.size
+            strip_ok = pack_capable and (impl != "strip" or (
+                op.strip_h and op.strip_val.size))
             if gin > 1:
                 # packed path pads each element's output to its full
                 # 128/g lane share (ChebConv packed branch)

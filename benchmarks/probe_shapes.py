@@ -225,6 +225,46 @@ def probe_stripgrid(Vp, W, C, h, m):
              f"stripgrid Vp={Vp} {h}x{W}x{C} m={m}", small=4)
 
 
+def probe_stripcopy(Vp, W, C, h):
+    """Pure dynamic-window-read bandwidth: fori over row tiles, each
+    iteration copies a (W, C) window at a dynamic 16-aligned offset into a
+    scratch (static store).  Reports effective TB/s — the hidden cost every
+    dynamic-offset matmul operand pays on this toolchain."""
+    from jax.experimental.pallas import tpu as pltpu2
+
+    rng = np.random.default_rng(0)
+    nt = Vp // h
+    x = jnp.asarray(rng.standard_normal((Vp, C)) * 0.1, jnp.bfloat16)
+    x = jax.device_put(x, jax.devices()[0])
+
+    def kernel(x_ref, o_ref, sc_ref):
+        def body(j, c):
+            raw = j * h + (h - W) // 2
+            o = jnp.clip((raw // 16) * 16, 0, Vp - W)
+            sc_ref[:, :] = x_ref[pl.ds(pl.multiple_of(o, 16), W), :]
+            # consume one row so the copy isn't dead
+            o_ref[pl.ds(j * h, 1), :] = sc_ref[0:1, :]
+            return c
+        jax.lax.fori_loop(0, nt, body, 0)
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Vp, C), jnp.bfloat16),
+        scratch_shapes=[pltpu2.VMEM((W, C), jnp.bfloat16)],
+        compiler_params=pltpu2.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(c):
+        return c + f(c) * jnp.bfloat16(1e-30)
+
+    timeloop(step, x, nt * W * C * 2, "TB/s",
+             f"stripcopy Vp={Vp} win({W}x{C}) h={h}", small=4)
+
+
 def probe_hbm():
     rows, cols = 16384, 2048  # 64 MB bf16
     cpu = jax.devices("cpu")[0]
@@ -256,6 +296,9 @@ def main():
         elif p.startswith("stripgrid:"):
             Vp, W, C, h, m = map(int, p.split(":")[1].split("x"))
             probe_stripgrid(Vp, W, C, h, m)
+        elif p.startswith("stripcopy:"):
+            Vp, W, C, h = map(int, p.split(":")[1].split("x"))
+            probe_stripcopy(Vp, W, C, h)
         else:
             raise SystemExit(f"unknown probe {p}")
 

@@ -42,6 +42,10 @@ class ModelCfg:
     joint_loss_weight: float = 1e-3
     posenet_pretrained: bool = False
     posenet_path: str = ""
+    # PoseNet hidden width (the reference hardcodes 4096,
+    # lib/models/pose2mesh_net.py:12; configurable here so small-scale
+    # tests/checkpoints slot into the same engine path)
+    posenet_hidden: int = 4096
 
 
 @dataclass
@@ -72,6 +76,11 @@ class TestCfg:
     shuffle: bool = False
     weight_path: str = ""
     vis: bool = False
+    # deploy-mode eval (TPU addition): BN folded into conv weights and the
+    # flat fused Pallas path active — the production inference config the
+    # benchmarks measure.  Applies when the Tester builds its own cascade
+    # (the training loop's in-epoch eval keeps the training graph).
+    deploy: bool = True
 
 
 @dataclass

@@ -90,9 +90,10 @@ def load_checkpoint(
     YAML paths unchanged."""
     path = path_or_dir
     if osp.isdir(path_or_dir):
-        stem = "best" if pick_best else "final"
-        for name in (f"{stem}.ckpt", f"{stem}.pth.tar"):
-            candidate = osp.join(path_or_dir, name)
+        stems = ("best", "final") if pick_best else ("final", "best")
+        candidates = [osp.join(path_or_dir, f"{stem}{ext}")
+                      for stem in stems for ext in (".ckpt", ".pth.tar")]
+        for candidate in candidates:
             if osp.exists(candidate):
                 path = candidate
                 break

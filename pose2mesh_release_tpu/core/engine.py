@@ -128,14 +128,16 @@ class _Base:
             return shard_batch(self.mesh, batch)
         return jax.device_put(batch, self.device)
 
-    def _build_cascade(self, joint_num: int, mano: bool):
+    def _build_cascade(self, joint_num: int, mano: bool, deploy: bool = False):
         dtype = jnp.bfloat16 if self.cfg.TPU.compute_dtype == "bf16" else jnp.float32
         # graph axis > 1: the model runs its band-level hops through the
         # explicit ppermute halo path instead of implicit GSPMD all-gathers
         spmd = self.mesh if (self.mesh is not None
                              and self.cfg.TPU.graph_axis > 1) else None
         return Pose2Mesh(num_joint=joint_num, mano=mano, dtype=dtype,
-                         use_pallas=self.cfg.TPU.use_pallas, spmd_mesh=spmd)
+                         posenet_hidden=self.cfg.MODEL.posenet_hidden,
+                         use_pallas=self.cfg.TPU.use_pallas, spmd_mesh=spmd,
+                         inference_fused=deploy)
 
 
 class Trainer(_Base):
@@ -316,10 +318,16 @@ class Tester(_Base):
         self.model = model
         self.state = None
         self._eval_step = None
+        # deploy-mode eval only when this Tester builds its own cascade;
+        # a caller-provided model (the training loop's in-epoch eval)
+        # keeps its graph as-is
+        self._deploy = bool(cfg.TEST.deploy) and model is None
         if dataset is not None:
             if self.model is None:
                 self.model = self._build_cascade(
-                    dataset.joint_num, mano=cfg.DATASET.input_joint_set == "mano"
+                    dataset.joint_num,
+                    mano=cfg.DATASET.input_joint_set == "mano",
+                    deploy=self._deploy,
                 )
             j_reg = jnp.asarray(dataset.target_regressor())
             self._eval_step = jax.jit(make_eval_step(self.model, j_reg))
@@ -340,6 +348,17 @@ class Tester(_Base):
             return {}
         state = state if state is not None else self.state
         assert state is not None, "no weights: pass state= or load_path="
+        if self._deploy and state.batch_stats:
+            # fold BN into conv kernels once: the inference_fused cascade
+            # consumes folded variables (models.fold; deploy-path parity vs
+            # the reference modules is tested in test_ref_checkpoint.py)
+            from ..models.fold import fold_bn_variables
+
+            v = fold_bn_variables({"params": state.params,
+                                   "batch_stats": state.batch_stats})
+            state = TrainState(params=v["params"],
+                               batch_stats=v.get("batch_stats", {}),
+                               opt_state=None, step=state.step)
         if art is None:
             art = self._put_art(ds.graph)
 

@@ -55,56 +55,76 @@ _FLAT_IMPL_DEFAULT = "group"
 
 
 def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
-    """Deploy flat-conv entry point: picks the strip kernel (narrow-window
-    commuted, ops.pallas_strip) when the level carries the strip form, else
-    the whole-level windowed kernel (ops.pallas_window) if requested, else
-    the row-tile-group kernel.  P2M_FLAT_IMPL={strip,window,group} overrides
-    for A/B measurement; unknown values raise (a typo must not silently
-    change which kernel is measured)."""
+    """Deploy flat-conv entry point.  Default ('group') picks between the
+    row-tile-group kernels: the COMMUTED variant (project-first, hops on
+    Fout lanes) for down-convs and gr-packed outputs, the basis variant
+    otherwise.  P2M_FLAT_IMPL={group,strip,window} selects the whole-level
+    strip / window kernels instead for A/B measurement (both measured
+    SLOWER on v5e: in-kernel dynamic-offset window reads copy at only
+    0.3-0.8 TB/s); unknown values raise (a typo must not silently change
+    which kernel is measured)."""
     impl = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT)
     if impl not in ("strip", "window", "group"):
         raise ValueError(
             f"P2M_FLAT_IMPL={impl!r}: expected 'strip', 'window' or 'group'")
+    out_pack = kw.pop("out_pack", 1)
     if impl == "strip":
         from .pallas_strip import fused_conv_flat_strip, strip_supported
         if strip_supported(op, batch=batch, lanes=x2.shape[1] // batch,
                            fo_lanes=W.shape[1]):
-            return fused_conv_flat_strip(op, x2, batch, W, b, **kw)
-    if kw.get("out_pack", 1) > 1:
-        # packed output changes the result SHAPE: callers request it only
-        # after flat_out_pack() said strip will run, so reaching another
-        # kernel here is a bug, not a fallback
-        raise ValueError("out_pack requested but the strip kernel was not "
-                         "selected (see flat_out_pack)")
-    kw.pop("out_pack", None)
+            return fused_conv_flat_strip(op, x2, batch, W, b,
+                                         out_pack=out_pack, **kw)
     if impl == "window":
         from .pallas_window import fused_conv_flat_window, window_supported
-        if window_supported(op, batch=batch, lanes=x2.shape[1] // batch):
+        if out_pack == 1 and window_supported(
+                op, batch=batch, lanes=x2.shape[1] // batch):
             return fused_conv_flat_window(op, x2, batch, W, b, **kw)
+    F = x2.shape[1] // batch
+    Fo = W.shape[1]
+    commute = (out_pack > 1 or Fo < F) and kw.get("skip") is None \
+        and not kw.get("out_3d")
+    if impl == "group" and commute and pallas_supported(
+            op, jnp.zeros((1, 1, 1))) and (Fo % 128 == 0 or 128 % Fo == 0):
+        W3 = W.reshape(3, F, Fo)
+        Wc = jnp.concatenate([W3[0] - W3[2], W3[1], W3[2]], axis=0)
+        kw2 = {k2: v for k2, v in kw.items()
+               if k2 not in ("skip", "skip_w", "out_3d")}
+        return fused_conv_flat_commuted(op, x2, batch, Wc, b, **kw2)
+    if out_pack > 1:
+        # packed output changes the result SHAPE: callers request it only
+        # after flat_out_pack() said a packing kernel will run, so reaching
+        # the basis kernel here is a bug, not a fallback
+        raise ValueError("out_pack requested but no packing-capable kernel "
+                         "was selected (see flat_out_pack)")
     return fused_conv_flat(op, x2, batch, W, b, **kw)
 
 
 def flat_out_pack(op, batch: int, lanes: int, fout: int) -> int:
     """Output packing factor the deploy dispatch can honor for a flat conv
-    emitting `fout` (< 128) channels: gr > 1 means the strip kernel will
-    emit gr-packed (128 // gr)-lane outputs (kron(I_gr, W) weights), saving
-    the zero-padded hop lanes AND the downstream repack copy.  1 = emit the
+    emitting `fout` (< 128) channels: gr > 1 means the dispatched kernel
+    (commuted group, or strip under P2M_FLAT_IMPL=strip) will emit
+    gr-packed (128 // gr)-lane outputs (kron(I_gr, W) weights), saving the
+    zero-padded hop lanes AND the downstream repack copy.  1 = emit the
     classic 128-padded layout."""
-    if fout >= 128 or os.environ.get("P2M_FLAT_IMPL",
-                                     _FLAT_IMPL_DEFAULT) != "strip":
+    impl = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT)
+    if fout >= 128 or impl == "window" or op.kind != "band" \
+            or not 1 <= op.band_k <= 2:
         return 1
     fo_p = 1
     while fo_p < fout or 128 % fo_p:
         fo_p *= 2
     gr = 128 // fo_p
-    lane_cap = int(os.environ.get("P2M_STRIP_LANES", "1024"))
+    lane_cap = int(os.environ.get(
+        "P2M_STRIP_LANES" if impl == "strip" else "P2M_FUSED_LANES",
+        "1024" if impl == "strip" else "2048"))
     # gr forces the batch chunk to a multiple of gr: keep the x chunk
-    # within the VMEM lane budget strip_supported assumes
+    # within the kernel's VMEM lane budget
     if batch % gr or gr * max(lanes, fo_p) > lane_cap:
         return 1
-    from .pallas_strip import strip_supported
-    if not strip_supported(op, batch=batch, lanes=lanes, fo_lanes=fo_p):
-        return 1
+    if impl == "strip":
+        from .pallas_strip import strip_supported
+        if not strip_supported(op, batch=batch, lanes=lanes, fo_lanes=fo_p):
+            return 1
     return gr
 
 
@@ -238,7 +258,7 @@ def _commuted_kernel_factory(T, BC, F, Fo, m, k=1, gr=1, relu=False):
     def kernel(*refs):
         band_refs = refs[:n_band]
         x_refs = refs[n_band:n_band + n_x]
-        w_ref, bias_ref, out_ref = refs[n_band + n_x:]
+        w_ref, bias_ref, out_ref, u_ref, t_ref = refs[n_band + n_x:]
         dt = out_ref.dtype
         gF, gFo = gr * F, gr * Fo
 
@@ -250,23 +270,26 @@ def _commuted_kernel_factory(T, BC, F, Fo, m, k=1, gr=1, relu=False):
             return y.reshape(T, BC // gr, gFo).reshape(T, BC * Fo)
 
         xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
-        # u = x @ W2 for every tile the two chained hops reach
-        us = [proj(x, 2).astype(dt) for x in xs]
-        uall = jnp.concatenate(us, axis=0)            # ((m+4k)*T, BC*Fo)
+        # u = x @ W2 for every tile the two chained hops reach, written to
+        # scratch so the hops read STATIC windows (no VPU concat; the
+        # round-3 probes measured dynamic/concat window assembly at only
+        # 0.3-0.8 TB/s — it dominated the kernel)
+        for i, x in enumerate(xs):
+            u_ref[i * T:(i + 1) * T, :] = proj(x, 2).astype(dt)
 
-        def hop(br, src, lo):
-            window = jax.lax.slice_in_dim(src, lo * T, lo * T + nbd * T, axis=0)
-            return jnp.dot(br[0], window, preferred_element_type=jnp.float32)
+        def hop(br, src_ref, lo):
+            return jnp.dot(br[0], src_ref[lo * T:(lo + nbd) * T, :],
+                           preferred_element_type=jnp.float32)
 
         # t = x @ W1 + 2 L u   for tiles t*m + a, a in [-k .. m-1+k]
-        ts = [(proj(xs[a + 2 * k], 1)
-               + 2.0 * hop(band_refs[a + k], uall, a + k)).astype(dt)
-              for a in range(-k, m + k)]
-        tall = jnp.concatenate(ts, axis=0)            # ((m+2k)*T, BC*Fo)
+        for a in range(-k, m + k):
+            t_ref[(a + k) * T:(a + k + 1) * T, :] = (
+                proj(xs[a + 2 * k], 1)
+                + 2.0 * hop(band_refs[a + k], u_ref, a + k)).astype(dt)
 
         for j in range(m):
             acc = proj(xs[j + 2 * k], 0)              # x @ (W0 - W2)
-            acc += hop(band_refs[j + k], tall, j)
+            acc += hop(band_refs[j + k], t_ref, j)
             acc += bias_ref[0][None, :].astype(jnp.float32)
             if relu:
                 acc = jnp.maximum(acc, 0.0)
@@ -350,6 +373,8 @@ def fused_conv_flat_commuted(op: LevelOperator, x2: jax.Array, batch: int,
         out_specs=pl.BlockSpec((m * T, BC * Fo), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, batch * Fo), x2.dtype),
+        scratch_shapes=[pltpu.VMEM(((m + 4 * k) * T, BC * Fo), x2.dtype),
+                        pltpu.VMEM(((m + 2 * k) * T, BC * Fo), x2.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -384,6 +409,13 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
     Clamped out-of-range windows only ever multiply all-zero boundary band
     blocks, so no masking.
 
+    Copy discipline (the round-3 probes showed VPU window assembly was ~60%
+    of this kernel's runtime): z1 tiles are written straight into a VMEM
+    scratch so hop-2 windows are STATIC slices (no z1 concat); hop-1 runs
+    per block-diagonal — 2k+1 (T,T)@(T,C) matmuls reading the x block refs
+    directly — instead of concatenating an (m+4k)-tile x window
+    (P2M_HOP1=cat restores the old concatenated form for A/B).
+
     Optional fused residual epilogue (the reference's per-block skip,
     meshnet.py:109-115) applied AFTER the activation:
       skip_mode == "add":  out += skip tile (same lane layout as out);
@@ -395,6 +427,7 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
     nbd = 2 * k + 1
     n_band = m + 2 * k
     n_x = m + 4 * k
+    hop1_cat = os.environ.get("P2M_HOP1", "diag") == "cat"
 
     def kernel(*refs):
         band_refs = refs[:n_band]          # (1, T, nbd*T) concatenated rows
@@ -403,25 +436,37 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
         skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
         w_ref, bias_ref = rest[0], rest[1]
         skip_w_ref = rest[2] if skip_mode == "proj" else None
-        out_ref = rest[-1]
+        out_ref, z1_ref = rest[-2], rest[-1]
         xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
         dt = out_ref.dtype
-        # one contiguous window so every hop is a single K=nbd*T matmul
-        xall = jnp.concatenate(xs, axis=0)            # ((m+4k)*T, C)
 
-        def hop(br, src, lo):
-            # rows [lo*T, lo*T + nbd*T) of src are tiles a-k..a+k
-            window = jax.lax.slice_in_dim(src, lo * T, lo * T + nbd * T, axis=0)
-            return jnp.dot(br[0], window, preferred_element_type=jnp.float32)
-
-        # z1 for tiles t*m + a, a in [-k .. m-1+k]; list index a + k
-        z1 = [hop(band_refs[a + k], xall, a + k).astype(dt)
-              for a in range(-k, m + k)]
-        z1all = jnp.concatenate(z1, axis=0)           # ((m+2k)*T, C)
+        # z1 for tiles t*m + a, a in [-k .. m-1+k], stored to scratch rows
+        # (a+k)*T; kept as values too (the projection reuses them)
+        z1 = []
+        if hop1_cat:
+            xall = jnp.concatenate(xs, axis=0)        # ((m+4k)*T, C)
+        for a in range(-k, m + k):
+            br = band_refs[a + k]
+            if hop1_cat:
+                window = jax.lax.slice_in_dim(
+                    xall, (a + k) * T, (a + k) * T + nbd * T, axis=0)
+                acc1 = jnp.dot(br[0], window,
+                               preferred_element_type=jnp.float32)
+            else:
+                acc1 = jnp.dot(br[0][:, 0:T], xs[a + k],
+                               preferred_element_type=jnp.float32)
+                for d in range(1, nbd):
+                    acc1 += jnp.dot(br[0][:, d * T:(d + 1) * T], xs[a + k + d],
+                                    preferred_element_type=jnp.float32)
+            z1t = acc1.astype(dt)
+            z1.append(z1t)
+            z1_ref[(a + k) * T:(a + k + 1) * T, :] = z1t
 
         for j in range(m):
             br = band_refs[j + k]  # central band row for output tile j
-            acc2 = hop(br, z1all, j)
+            # hop 2: STATIC window slice from the z1 scratch
+            acc2 = jnp.dot(br[0], z1_ref[j * T:(j + nbd) * T, :],
+                           preferred_element_type=jnp.float32)
             z2 = (2.0 * acc2 - xs[j + 2 * k].astype(jnp.float32)).astype(dt)
             # basis-concat projection: ONE (T*BC, 3F) @ (3F, Fout) matmul
             def _rows(z):
@@ -561,6 +606,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM(((m + 2 * k) * T, BC * F), x2.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -622,6 +668,7 @@ def _fused_call(band_val, x, W, b, T, relu=False):
         out_specs=pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype),
+        scratch_shapes=[pltpu.VMEM(((m + 2 * k) * T, BC * F), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

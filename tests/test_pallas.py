@@ -272,6 +272,48 @@ def test_flat_strip_matches_group_kernel(k, strip_h, variant, mode,
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["group", "strip"])
+def test_flat_dispatch_commuted_and_out_pack(impl, monkeypatch):
+    """The deploy dispatch routes down-convs to the commuted kernels and
+    honors out_pack (gr-packed outputs) identically under both the group
+    and strip impls: results match the canonical conv."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import fused_conv_flat_dispatch
+
+    monkeypatch.setenv("P2M_FLAT_IMPL", impl)
+    op = _synthetic_band_op(1, strip_h=128)
+    nt, T = op.band_val.shape[1], op.block_size
+    Vp, V = nt * T, op.num_vertices
+    B, F = 4, 256
+    rng = np.random.default_rng(9)
+    x3 = jnp.asarray(rng.standard_normal((V, B, F)) * 0.3, jnp.float32)
+
+    def canonical(W0, W1, W2, b):
+        z1 = spmm_band(op, x3)
+        z2 = 2.0 * spmm_band(op, z1) - x3
+        return jnp.maximum(x3 @ W0 + z1 @ W1 + z2 @ W2 + b, 0.0)
+
+    x2 = jnp.pad(x3.reshape(V, B * F), ((0, Vp - V), (0, 0)))
+    # down-conv 256 -> 128: dispatch must take the commuted route
+    W0, W1, W2 = (jnp.asarray(rng.standard_normal((F, 128)) * 0.05,
+                              jnp.float32) for _ in range(3))
+    b = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    y = fused_conv_flat_dispatch(op, x2, B, jnp.concatenate([W0, W1, W2]),
+                                 b, relu=True)
+    np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, 128)),
+                               np.asarray(canonical(W0, W1, W2, b)),
+                               rtol=1e-4, atol=1e-4)
+    # out-packed down-conv 256 -> 64 (gr=2): per-element 64-lane outputs
+    W0, W1, W2 = (jnp.asarray(rng.standard_normal((F, 64)) * 0.05,
+                              jnp.float32) for _ in range(3))
+    b = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    y = fused_conv_flat_dispatch(op, x2, B, jnp.concatenate([W0, W1, W2]),
+                                 b, relu=True, out_pack=2)
+    assert y.shape == (Vp, B * 64)
+    np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, 64)),
+                               np.asarray(canonical(W0, W1, W2, b)),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("fo,gr", [(64, 2), (32, 4)])
 def test_flat_strip_output_packing(fo, gr):
     """out_pack=gr emits gr-packed outputs (each element keeps only fo
