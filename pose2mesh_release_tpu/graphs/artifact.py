@@ -90,6 +90,9 @@ class LevelOperator:
     block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
     band_k: int = dataclasses.field(metadata=dict(static=True), default=0)
     strip_h: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # scalar bandwidth max|r - c| (band kind): static so kernels can trim
+    # off-diagonal block matmuls to the populated columns at trace time
+    band_bw: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def nnz(self) -> int:
@@ -272,6 +275,8 @@ def _make_level_op(
         )
     if kind == "band":
         band_val, band_k = _pack_band(L, block_size)
+        coo = L.tocoo()
+        bw = int(np.abs(coo.row - coo.col).max()) if coo.nnz else 0
         strip = jnp.zeros((0, 0), jnp.float32)
         h = 0
         if strip_h and band_val.shape[1] * block_size % strip_h == 0:
@@ -284,6 +289,7 @@ def _make_level_op(
             ell_idx=jnp.asarray(ell_idx), ell_w=jnp.asarray(ell_w),
             strip_val=strip, strip_h=h,
             kind="band", num_vertices=V, block_size=block_size, band_k=band_k,
+            band_bw=bw,
         )
     blk_col, blk_val = _pack_bcsr(L, block_size)
     return LevelOperator(
@@ -466,6 +472,7 @@ def _flatten_for_save(art: PyramidArtifact) -> Dict[str, np.ndarray]:
         out[f"{prefix}/block_size"] = np.int64(op.block_size)
         out[f"{prefix}/band_k"] = np.int64(op.band_k)
         out[f"{prefix}/strip_h"] = np.int64(op.strip_h)
+        out[f"{prefix}/band_bw"] = np.int64(op.band_bw)
         for f in ("dense", "blk_col", "blk_val", "band_val", "ell_idx",
                   "ell_w", "strip_val"):
             out[f"{prefix}/{f}"] = np.asarray(getattr(op, f))
@@ -502,6 +509,8 @@ def load_artifact(path: str) -> PyramidArtifact:
             band_k=int(z[f"{prefix}/band_k"]),
             strip_h=(int(z[f"{prefix}/strip_h"])
                      if f"{prefix}/strip_h" in z else 0),
+            band_bw=(int(z[f"{prefix}/band_bw"])
+                     if f"{prefix}/band_bw" in z else 0),
         )
 
     return PyramidArtifact(

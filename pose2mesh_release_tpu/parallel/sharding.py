@@ -45,7 +45,7 @@ def _level_sharding(mesh: Mesh, op: LevelOperator) -> LevelOperator:
             strip_val=put(op.strip_val, rep),
             kind=op.kind, num_vertices=op.num_vertices,
             block_size=op.block_size, band_k=op.band_k,
-            strip_h=op.strip_h,
+            strip_h=op.strip_h, band_bw=op.band_bw,
         )
     if op.kind == "band" and op.band_val.ndim == 4 and op.band_val.shape[1] % n_graph == 0:
         # band_val: (nbd, nt, T, T) -> shard the row-tile dim over 'graph';
@@ -61,7 +61,7 @@ def _level_sharding(mesh: Mesh, op: LevelOperator) -> LevelOperator:
             strip_val=put(op.strip_val, rep),
             kind=op.kind, num_vertices=op.num_vertices,
             block_size=op.block_size, band_k=op.band_k,
-            strip_h=op.strip_h,
+            strip_h=op.strip_h, band_bw=op.band_bw,
         )
     return jax.tree.map(lambda x: put(x, rep), op)
 
