@@ -147,13 +147,11 @@ def _band_conv_shapes(art, batch_size):
                 # 128/g lane share (ChebConv packed branch)
                 fo = 128
             elif strip_ok and fout < 128 and i == len(SMPL_BLOCKS) - 1:
-                fo_p = 1
-                while fo_p < fout or 128 % fo_p:
-                    fo_p *= 2
-                if (128 // fo_p) * max(fl, fo_p) <= 1024 and \
-                        batch_size % (128 // fo_p) == 0:
-                    fo = fo_p  # out-packed down-conv (flat_out_pack)
-                    pack_g = 128 // fo_p
+                from pose2mesh_release_tpu.ops.pallas_cheby import flat_out_pack
+                gr = flat_out_pack(op, batch_size, fl, fout)
+                if gr > 1:
+                    fo = 128 // gr  # out-packed down-conv
+                    pack_g = gr
                 else:
                     fo = -(-fout // 128) * 128
             else:
@@ -175,13 +173,20 @@ def _roofline_report(art, batch_size, measure=False):
     print("# dual roofline per band conv (us; strip/band at measured "
           "sustained MXU rates, sparse = nnz-minimal honest floor):",
           file=sys.stderr)
+    import os as _os
+
+    from pose2mesh_release_tpu.ops.pallas_cheby import _FLAT_IMPL_DEFAULT
+    strip_active = _os.environ.get("P2M_FLAT_IMPL",
+                                   _FLAT_IMPL_DEFAULT) == "strip"
     for op, i, fin, fout, beff, fl, fo in _band_conv_shapes(art, batch_size):
         r_strip = (strip_conv_roofline(op, beff, fl, fo)
                    if op.strip_h else None)
         r_band = fused_conv_roofline(op, beff, fl, -(-fo // 128) * 128,
                                      m=8 if op.band_k >= 2 else 4)
         r_sparse = sparse_conv_roofline(op, batch_size, fin, fout)
-        active = r_strip or r_band
+        # the bound of the layout that actually RUNS (strip only under
+        # P2M_FLAT_IMPL=strip); the strip column stays informational
+        active = r_strip if (strip_active and r_strip) else r_band
         total_ideal += active.ideal_us * 1e-6
         row = {
             "level_V": int(op.num_vertices), "conv": f"{fin}->{fout}",

@@ -81,8 +81,17 @@ def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
             return fused_conv_flat_window(op, x2, batch, W, b, **kw)
     F = x2.shape[1] // batch
     Fo = W.shape[1]
+    # measured on v5e (BENCH_NOTES_r3): the commuted group kernel WINS on
+    # 256->128 (831 vs 916 us bound) but LOSES on out-packed 128->64 (1662
+    # vs ~1456 padded basis) — its 3 separate K=F projections run at ~92
+    # TF/s vs the single K=3F at ~157.  Route: commute only when the hop
+    # shrink is 2x at full 128 output lanes; P2M_COMMUTE={auto,all,off}.
+    commute_env = os.environ.get("P2M_COMMUTE", "auto")
     commute = (out_pack > 1 or Fo < F) and kw.get("skip") is None \
         and not kw.get("out_3d")
+    if out_pack == 1 and (commute_env == "off" or (
+            commute_env == "auto" and not (Fo < F and Fo >= 128))):
+        commute = False
     if impl == "group" and commute and pallas_supported(
             op, jnp.zeros((1, 1, 1))) and (Fo % 128 == 0 or 128 % Fo == 0):
         W3 = W.reshape(3, F, Fo)
@@ -109,6 +118,11 @@ def flat_out_pack(op, batch: int, lanes: int, fout: int) -> int:
     impl = os.environ.get("P2M_FLAT_IMPL", _FLAT_IMPL_DEFAULT)
     if fout >= 128 or impl == "window" or op.kind != "band" \
             or not 1 <= op.band_k <= 2:
+        return 1
+    # measured loss on v5e for the group impl (BENCH_NOTES_r3 §3): the
+    # out-packed commuted 128->64 ran 1662 us vs ~1456 padded basis, so
+    # output packing is opt-in (P2M_COMMUTE=all) off the strip impl
+    if impl == "group" and os.environ.get("P2M_COMMUTE", "auto") != "all":
         return 1
     fo_p = 1
     while fo_p < fout or 128 % fo_p:
