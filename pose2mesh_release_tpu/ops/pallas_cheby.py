@@ -119,10 +119,12 @@ def flat_out_pack(op, batch: int, lanes: int, fout: int) -> int:
     if fout >= 128 or impl == "window" or op.kind != "band" \
             or not 1 <= op.band_k <= 2:
         return 1
-    # measured loss on v5e for the group impl (BENCH_NOTES_r3 §3): the
-    # out-packed commuted 128->64 ran 1662 us vs ~1456 padded basis, so
-    # output packing is opt-in (P2M_COMMUTE=all) off the strip impl
-    if impl == "group" and os.environ.get("P2M_COMMUTE", "auto") != "all":
+    # measured on v5e (BENCH_NOTES_r3 §3): the out-packed commuted 128->64
+    # conv is slower in isolation (1662 vs ~1456 us padded basis) but WINS
+    # at the forward level (10.23 vs 10.60 ms) by eliminating the
+    # inter-conv repack copy its packed layout makes unnecessary — so
+    # packing stays on by default; P2M_COMMUTE=off disables it
+    if os.environ.get("P2M_COMMUTE", "auto") == "off":
         return 1
     fo_p = 1
     while fo_p < fout or 128 % fo_p:
