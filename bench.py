@@ -170,6 +170,7 @@ def _roofline_report(art, batch_size, measure=False):
 
     rows = []
     total_ideal = 0.0
+    meas_cache = {}  # identical conv shapes measured once (driver budget)
     print("# dual roofline per band conv (us; strip/band at measured "
           "sustained MXU rates, sparse = nnz-minimal honest floor):",
           file=sys.stderr)
@@ -195,8 +196,11 @@ def _roofline_report(art, batch_size, measure=False):
             "sparse_us": round(r_sparse.ideal_us, 1),
         }
         if measure:
-            row["measured_us"] = round(_measure_conv(
-                op, beff, fl, fo, batch_size) * 1e6, 1)
+            key = (op.num_vertices, fin, fout, beff, fl, fo)
+            if key not in meas_cache:
+                meas_cache[key] = round(_measure_conv(
+                    op, beff, fl, fo, batch_size) * 1e6, 1)
+            row["measured_us"] = meas_cache[key]
         rows.append(row)
         meas = (f" measured {row['measured_us']:7.1f}"
                 if measure else "")

@@ -38,22 +38,25 @@ H36M_SKELETON = (
 H36M_FLIP_PAIRS = ((1, 4), (2, 5), (3, 6), (14, 11), (15, 12), (16, 13))
 
 
-def _time_scan(apply_fn, carry0, small=2, large=22):
+def _time_scan(apply_fn, carry0, consts=(), small=2, large=22):
+    """`consts` are passed as jit ARGUMENTS, not closures — closure arrays
+    get baked into the HLO as constants and blow the relay's request-size
+    limit (HTTP 413) for artifact-sized programs."""
     @functools.partial(jax.jit, static_argnums=0)
-    def loop(n, c0):
+    def loop(n, c0, *cs):
         def body(c, _):
-            return apply_fn(c), ()
+            return apply_fn(c, *cs), ()
         c, _ = jax.lax.scan(body, c0, None, length=n)
         # one concrete scalar: float() forces the fetch (block_until_ready
         # does not reliably block through the relay, see bench.py notes)
         return jax.tree.leaves(c)[-1].astype(jnp.float32).mean()
 
-    float(loop(small, carry0))
-    float(loop(large, carry0))
+    float(loop(small, carry0, *consts))
+    float(loop(large, carry0, *consts))
     ts, tl = [], []
     for _ in range(3):
-        t0 = time.time(); float(loop(small, carry0)); ts.append(time.time() - t0)
-        t0 = time.time(); float(loop(large, carry0)); tl.append(time.time() - t0)
+        t0 = time.time(); float(loop(small, carry0, *consts)); ts.append(time.time() - t0)
+        t0 = time.time(); float(loop(large, carry0, *consts)); tl.append(time.time() - t0)
     return max(min(tl) - min(ts), 1e-9) / (large - small)
 
 
@@ -82,11 +85,11 @@ def bench_mano_infer(batch=64):
     dev = jax.devices()[0]
     art, variables, pose2d = jax.device_put((art, variables, pose2d), dev)
 
-    def step(p):
-        mesh, pose3d = model.apply(variables, art, p, False)
+    def step(p, v, a):
+        mesh, pose3d = model.apply(v, a, p, False)
         return p + mesh.mean() * 1e-30 + pose3d.mean() * 1e-30
 
-    dt = _time_scan(step, pose2d)
+    dt = _time_scan(step, pose2d, consts=(variables, art))
     return {"value": round(batch / dt, 1), "unit": "meshes/s",
             "ms_per_batch": round(dt * 1e3, 3), "batch": batch,
             "levels": list(art.level_sizes)}
@@ -132,12 +135,12 @@ def bench_smpl_train(batch=64):
     dev = jax.devices()[0]
     state, art, batch_d = jax.device_put((state, art, batch_d), dev)
 
-    def step(s):
-        s2, _losses = train_step(s, art, batch_d, jnp.float32(1e-3),
+    def step(s, a, bd):
+        s2, _losses = train_step(s, a, bd, jnp.float32(1e-3),
                                  jnp.bool_(True), jax.random.PRNGKey(1))
         return s2
 
-    dt = _time_scan(step, state, small=2, large=10)
+    dt = _time_scan(step, state, consts=(art, batch_d), small=2, large=10)
     return {"value": round(batch / dt, 1), "unit": "samples/s",
             "ms_per_step": round(dt * 1e3, 3), "batch": batch}
 
