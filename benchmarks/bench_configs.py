@@ -127,8 +127,12 @@ def bench_smpl_train(batch=64):
         }
         j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
         j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
-        variables = model.init(jax.random.PRNGKey(0), art,
-                               batch_d["pose2d"], False)
+        # init through the XLA path: params are layout-independent and the
+        # CPU-side init must not lower real Pallas kernels
+        init_model = Pose2Mesh(num_joint=17, dtype=jnp.bfloat16,
+                               use_pallas=False)
+        variables = jax.jit(init_model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), art, batch_d["pose2d"], False)
         tx = make_preconditioner("rmsprop")
         state = TrainState.create(variables, tx)
     train_step = make_train_step(model, tx, j_reg)
