@@ -48,8 +48,12 @@ def _time_scan(apply_fn, carry0, consts=(), small=2, large=22):
             return apply_fn(c, *cs), ()
         c, _ = jax.lax.scan(body, c0, None, length=n)
         # one concrete scalar: float() forces the fetch (block_until_ready
-        # does not reliably block through the relay, see bench.py notes)
-        return jax.tree.leaves(c)[-1].astype(jnp.float32).mean()
+        # does not reliably block through the relay, see bench.py notes).
+        # Probe the FIRST leaf — for a TrainState that is a parameter
+        # (updating it needs the whole fwd+bwd+optimizer chain); the last
+        # leaf is the step counter, which XLA computes as s0.step + n and
+        # dead-code-eliminates everything else.
+        return jax.tree.leaves(c)[0].astype(jnp.float32).mean()
 
     float(loop(small, carry0, *consts))
     float(loop(large, carry0, *consts))
