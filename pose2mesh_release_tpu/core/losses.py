@@ -29,9 +29,15 @@ def coord_l1(pred: jax.Array, target: jax.Array, valid: jax.Array | None = None)
 
 
 def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
-    # torch F.normalize: v / max(||v||, eps)
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    # torch F.normalize (v / max(||v||, eps)) with a GRAD-safe guard: the
+    # derivative of ||v|| at v = 0 is 0/0, and bf16-quantized predictions
+    # can produce exactly-coincident vertices (zero edges) early in
+    # training — the double-where keeps both branches NaN-free so one
+    # degenerate triangle cannot poison the whole gradient
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = n2 > eps * eps
+    inv = jax.lax.rsqrt(jnp.where(ok, n2, 1.0))
+    return jnp.where(ok, v * inv, jnp.zeros_like(v))
 
 
 def normal_vector_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array) -> jax.Array:
