@@ -64,7 +64,13 @@ def edge_length_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array) -> jax.Ar
     f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
 
     def elen(x, a, b):
-        return jnp.sqrt(((x[:, a] - x[:, b]) ** 2).sum(-1))
+        # grad-safe sqrt: d(sqrt)/dx at 0 is inf, and bf16-quantized
+        # predictions can make vertices coincide exactly — one zero-length
+        # edge must not NaN the whole gradient (same double-where guard as
+        # _normalize; forward values are identical to the plain sqrt)
+        n2 = ((x[:, a] - x[:, b]) ** 2).sum(-1)
+        ok = n2 > 1e-24
+        return jnp.where(ok, jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
 
     d1 = jnp.abs(elen(pred, f0, f1) - elen(gt, f0, f1))
     d2 = jnp.abs(elen(pred, f0, f2) - elen(gt, f0, f2))
