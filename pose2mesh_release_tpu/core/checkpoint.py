@@ -101,6 +101,15 @@ def load_checkpoint(
             path = latest_checkpoint(path_or_dir)
         if path is None:
             raise FileNotFoundError(f"no checkpoints in {path_or_dir}")
+        # make any substitution attributable: a caller asking for best.*
+        # must know when it actually got final.* (or vice versa)
+        want = stems[0]
+        got = osp.basename(path).split(".")[0]
+        if got != want:
+            import warnings
+            warnings.warn(
+                f"load_checkpoint: {want}.* not found in {path_or_dir}; "
+                f"loading {osp.basename(path)} instead")
     if path.endswith((".pth.tar", ".pth")):
         from ..parity.convert import load_torch_payload
 

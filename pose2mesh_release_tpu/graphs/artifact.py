@@ -335,8 +335,12 @@ def _min_bandwidth_order(adj: sp.csr_matrix, T: int) -> np.ndarray:
         bw = bw_of(cand)
         if bw < best_bw:
             best, best_bw = cand, bw
-    except Exception:
-        pass  # eigsh non-convergence: RCM candidates still stand
+    except (sp.linalg.ArpackError, ValueError) as e:
+        # eigsh non-convergence / bad small-graph shapes only: RCM
+        # candidates still stand, but say so — a silently skipped spectral
+        # candidate degrades bandwidth (and strip-kernel perf) downstream
+        import warnings
+        warnings.warn(f"spectral reorder candidate skipped: {e!r}")
     if best_bw > T:
         rng = np.random.default_rng(0)
         for _ in range(16):

@@ -87,6 +87,8 @@ def fused_conv_flat_dispatch(op, x2, batch, W, b, **kw):
     # TF/s vs the single K=3F at ~157.  Route: commute only when the hop
     # shrink is 2x at full 128 output lanes; P2M_COMMUTE={auto,all,off}.
     commute_env = os.environ.get("P2M_COMMUTE", "auto")
+    if commute_env not in ("auto", "all", "off"):
+        raise ValueError(f"P2M_COMMUTE={commute_env!r}: expected auto|all|off")
     commute = (out_pack > 1 or Fo < F) and kw.get("skip") is None \
         and not kw.get("out_3d")
     if out_pack == 1 and (commute_env == "off" or (
@@ -124,7 +126,10 @@ def flat_out_pack(op, batch: int, lanes: int, fout: int) -> int:
     # at the forward level (10.23 vs 10.60 ms) by eliminating the
     # inter-conv repack copy its packed layout makes unnecessary — so
     # packing stays on by default; P2M_COMMUTE=off disables it
-    if os.environ.get("P2M_COMMUTE", "auto") == "off":
+    commute_env = os.environ.get("P2M_COMMUTE", "auto")
+    if commute_env not in ("auto", "all", "off"):
+        raise ValueError(f"P2M_COMMUTE={commute_env!r}: expected auto|all|off")
+    if commute_env == "off":
         return 1
     fo_p = 1
     while fo_p < fout or 128 % fo_p:

@@ -94,6 +94,46 @@ def test_normal_and_edge_losses_zero_at_gt():
     assert float(normal_vector_loss(pred, gt, f)) > 0.01
 
 
+def test_degenerate_triangle_grads_finite():
+    """Round-3 regression (TRAINING_r3 NaN): a bf16-quantized prediction can
+    contain exactly-coincident vertices (zero-length edges, degenerate
+    triangles).  The grad of the full loss stack — run at the training
+    dtype, bf16 prediction — must stay finite; one bad triangle must not
+    poison the whole gradient (losses.py _normalize / elen double-where)."""
+    _, faces = uv_sphere(110)
+    f = jnp.asarray(faces)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((2, 110, 3)), jnp.float32)
+
+    def make_pred(kind):
+        p = np.asarray(rng.standard_normal((2, 110, 3)), np.float32)
+        v0, v1, v2 = faces[0]
+        if kind == "coincident_edge":       # zero-length edge in face 0
+            p[:, v1] = p[:, v0]
+        elif kind == "coincident_face":     # fully collapsed triangle
+            p[:, v1] = p[:, v0]
+            p[:, v2] = p[:, v0]
+        elif kind == "colinear":            # zero cross product in gt path
+            p[:, v2] = 2.0 * p[:, v1] - p[:, v0]
+        # quantize through bf16 exactly like the training forward
+        return jnp.asarray(p, jnp.bfloat16).astype(jnp.float32)
+
+    def total(pred, gt_m):
+        return (normal_vector_loss(pred, gt_m, f)
+                + edge_length_loss(pred, gt_m, f)
+                + coord_l1(pred, gt_m))
+
+    for kind in ("coincident_edge", "coincident_face", "colinear"):
+        pred = make_pred(kind)
+        val, grad = jax.value_and_grad(total)(pred, gt)
+        assert np.isfinite(float(val)), kind
+        assert bool(jnp.isfinite(grad).all()), kind
+        # degenerate GT (colinear gt edges -> zero-norm gt normal) too
+        val2, grad2 = jax.value_and_grad(total)(gt, pred)
+        assert np.isfinite(float(val2)), kind
+        assert bool(jnp.isfinite(grad2).all()), kind
+
+
 def test_metrics_procrustes():
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.standard_normal((4, 17, 3)), jnp.float32)
