@@ -54,11 +54,10 @@ def _measure(fn, carry, *args, small=2, large=12, reps=3):
 
     def run(n, c, *a):
         out = loop(n, c, *a)
-        jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") and x.size == 1
-                     else x.block_until_ready(), jax.tree.leaves(out)[0])
-        # fetch one scalar-ish leaf to force completion through the relay
-        leaf = jax.tree.leaves(out)[0]
-        np.asarray(jax.tree.leaves(jax.tree.map(jnp.sum, out))[0])
+        # fetch one scalar leaf to force completion through the relay (the
+        # same eager-sum cost lands on small and large runs, so the
+        # difference cancels it)
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
         return out
 
     run(small, carry, *args)
@@ -121,32 +120,37 @@ def main(batch=64):
         print(f"# {name:14s} {secs*1e3:8.2f} ms/batch{batch}",
               file=sys.stderr, flush=True)
 
-    def loss_of(params, bs, train, keys=None, rngs=None):
+    # every big operand travels as an explicit jit ARG: closure constants
+    # get serialized into the relay's compile request and trip its length
+    # limit (same fix as benchmarks/bench_configs d0a15f7)
+    def loss_of(params, bs, a, bd, train, keys=None, rngs=None):
         out = model.apply(
             {"params": params, "batch_stats": bs},
-            art, batch_d["pose2d"], train,
+            a, bd["pose2d"], train,
             mutable=["batch_stats"] if train else False,
             rngs=rngs)
         (mesh_dev, pose3d), new_bs = out if train else (out, bs)
-        mesh = extract_mesh(art, mesh_dev)
+        mesh = extract_mesh(a, mesh_dev)
         reg_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0,
                               preferred_element_type=jnp.float32)
-        losses = pose2mesh_loss(mesh, pose3d, reg_pose, batch_d, art.faces,
+        losses = pose2mesh_loss(mesh, pose3d, reg_pose, bd, a.faces,
                                 use_edge_loss=jnp.bool_(True))
         if keys is not None:
             return sum(losses[k] for k in keys)
         return losses["total"]
 
-    # --- forward-only ladder (carry = scalar chained into pose2d noise) ---
-    def fwd_eval3d(c):
-        return c + loss_of(state.params, state.batch_stats, False) * 1e-30
+    # --- forward-only ladder (carry = scalar chained into the loss) ---
+    def fwd_eval3d(c, s, a, bd):
+        return c + loss_of(s.params, s.batch_stats, a, bd, False) * 1e-30
 
-    def fwd_train(c):
-        return c + loss_of(state.params, state.batch_stats, True,
+    def fwd_train(c, s, a, bd):
+        return c + loss_of(s.params, s.batch_stats, a, bd, True,
                            rngs={"dropout": jax.random.PRNGKey(0)}) * 1e-30
 
-    report("fwd_eval3d", _measure(fwd_eval3d, jnp.float32(0.0)))
-    report("fwd_train", _measure(fwd_train, jnp.float32(0.0)))
+    report("fwd_eval3d", _measure(fwd_eval3d, jnp.float32(0.0),
+                                  state, art, batch_d))
+    report("fwd_train", _measure(fwd_train, jnp.float32(0.0),
+                                 state, art, batch_d))
 
     # --- grad ladder (carry = params; add a tiny grad multiple so the scan
     # serializes and nothing hoists) ---
@@ -154,44 +158,49 @@ def main(batch=64):
         return jax.tree.map(lambda p, gg: p + eps * gg.astype(p.dtype),
                             params, g)
 
-    def grad_eval(params):
-        g = jax.grad(lambda p: loss_of(p, state.batch_stats, False))(params)
+    def grad_eval(params, bs, a, bd):
+        g = jax.grad(lambda p: loss_of(p, bs, a, bd, False))(params)
         return add_grad(params, g)
 
-    def grad_train(params):
+    def grad_train(params, bs, a, bd):
         g = jax.grad(lambda p: loss_of(
-            p, state.batch_stats, True,
+            p, bs, a, bd, True,
             rngs={"dropout": jax.random.PRNGKey(0)}))(params)
         return add_grad(params, g)
 
-    def grad_vertex(params):
+    def grad_vertex(params, bs, a, bd):
         g = jax.grad(lambda p: loss_of(
-            p, state.batch_stats, True, keys=("vertex", "lift_joint"),
+            p, bs, a, bd, True, keys=("vertex", "lift_joint"),
             rngs={"dropout": jax.random.PRNGKey(0)}))(params)
         return add_grad(params, g)
 
-    report("grad_eval", _measure(grad_eval, state.params, small=2, large=8))
-    report("grad_train", _measure(grad_train, state.params, small=2, large=8))
-    report("grad_vertex", _measure(grad_vertex, state.params, small=2, large=8))
+    margs = (state.batch_stats, art, batch_d)
+    report("grad_eval", _measure(grad_eval, state.params, *margs,
+                                 small=2, large=8))
+    report("grad_train", _measure(grad_train, state.params, *margs,
+                                  small=2, large=8))
+    report("grad_vertex", _measure(grad_vertex, state.params, *margs,
+                                   small=2, large=8))
 
     # --- optimizer alone ---
     grads0 = jax.tree.map(lambda p: jnp.full_like(p, 1e-8), state.params)
     grads0 = jax.device_put(grads0, dev)
 
-    def opt_only(s):
-        updates, new_opt = tx.update(grads0, s.opt_state, s.params)
+    def opt_only(s, g0):
+        updates, new_opt = tx.update(g0, s.opt_state, s.params)
         new_params = jax.tree.map(lambda p, u: p - 1e-9 * u, s.params, updates)
         return TrainState(new_params, s.batch_stats, new_opt, s.step + 1)
 
-    report("opt_only", _measure(opt_only, state, small=2, large=12))
+    report("opt_only", _measure(opt_only, state, grads0, small=2, large=12))
 
     # --- full step ---
-    def step_full(s):
-        s2, _ = train_step(s, art, batch_d, jnp.float32(1e-9),
+    def step_full(s, a, bd):
+        s2, _ = train_step(s, a, bd, jnp.float32(1e-9),
                            jnp.bool_(True), jax.random.PRNGKey(1))
         return s2
 
-    report("step_full", _measure(step_full, state, small=2, large=8))
+    report("step_full", _measure(step_full, state, art, batch_d,
+                                 small=2, large=8))
 
     results["derived"] = {
         "bn_dropout_ms": round(results["grad_train"] - results["grad_eval"], 2),

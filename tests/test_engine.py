@@ -202,3 +202,75 @@ def test_reference_yamls_parse():
     assert cfg.DATASET.train_list == ["Human36M"]
     assert cfg.TRAIN.end_epoch == 15 and cfg.TRAIN.edge_loss_start == 7
     assert cfg.MODEL.posenet_pretrained is True
+
+
+def _write_freihand_fixture(dirpath, split, n=4, seed=8):
+    """Minimal FreiHAND annotation files in the real schema
+    (reference data/FreiHAND/dataset.py:41-66 json layout)."""
+    import json as _json
+
+    rng = np.random.default_rng(seed)
+    images, annotations, data = [], [], {}
+    for i in range(n):
+        images.append({"id": i, "file_name": f"rgb/{i:08d}.jpg",
+                       "width": 224, "height": 224, "db_idx": i})
+        annotations.append({"id": i, "image_id": i,
+                            "bbox": [40.0, 40.0, 150.0, 150.0]})
+        data[str(i)] = {
+            "cam_param": {"focal": [500.0, 500.0], "princpt": [112.0, 112.0],
+                          "R": np.eye(3).tolist(), "t": [0.0, 0.0, 0.5]},
+            "mano_param": {"pose": (rng.standard_normal(48) * 0.1).tolist(),
+                           "shape": (rng.standard_normal(10) * 0.3).tolist()},
+            "joint_3d": (rng.standard_normal((21, 3)) * 50).tolist(),
+        }
+    tag = "train" if split == "train" else "eval"
+    with open(osp.join(dirpath, f"freihand_{tag}_coco.json"), "w") as f:
+        _json.dump({"images": images, "annotations": annotations}, f)
+    with open(osp.join(dirpath, f"freihand_{tag}_data.json"), "w") as f:
+        _json.dump(data, f)
+
+
+@pytest.mark.slow
+def test_freihand_mano_train_and_codalab_dump(tmp_path):
+    """End-to-end MANO config (VERDICT r3 item #10): Trainer.fit one epoch
+    on fixture FreiHAND data with the REAL 6-level MANO pyramid +
+    MANO_BLOCKS schedule, then eval-split Tester writes the codalab
+    pred.json in the [joints, meshes] schema
+    (reference data/FreiHAND/dataset.py:230-256)."""
+    import json as _json
+
+    from pose2mesh_release_tpu.body.mano import MANO
+    from pose2mesh_release_tpu.data.freihand import FreiHAND
+
+    mano = MANO()
+    _write_freihand_fixture(str(tmp_path), "train")
+    _write_freihand_fixture(str(tmp_path), "eval")
+    out_dir = str(tmp_path / "out")
+    train_ds = FreiHAND("train", data_dir=str(tmp_path), mesh_model=mano,
+                        output_dir=out_dir)
+    eval_ds = FreiHAND("test", data_dir=str(tmp_path), mesh_model=mano,
+                       build_graph=False, output_dir=out_dir)
+    eval_ds.graph = train_ds.graph  # same pyramid (both construct it once
+    # per dataset in the reference, FreiHAND/dataset.py:48-49)
+
+    cfg = _cfg(tmp_path)
+    cfg.TRAIN.end_epoch = 1
+    cfg.DATASET.input_joint_set = "mano"
+    cfg.MODEL.posenet_hidden = 64  # keep the CPU run fast; schedule is real
+    tr = Trainer(cfg, datasets=[train_ds], test_dataset=eval_ds,
+                 mesh_model=mano)
+    assert len(tr.art.mesh_ops) + 2 == 7  # real MANO_BLOCKS depth
+    result = tr.fit()
+    assert np.isfinite(tr.train_log[-1])
+    assert np.isfinite(result.get("joint_err", np.nan))
+
+    pred_path = osp.join(out_dir, "pred.json")
+    assert osp.exists(pred_path)
+    with open(pred_path) as f:
+        pred = _json.load(f)
+    # codalab schema: [xyz_pred_list, verts_pred_list]
+    assert isinstance(pred, list) and len(pred) == 2
+    joints, verts = np.asarray(pred[0]), np.asarray(pred[1])
+    assert joints.shape == (len(eval_ds), 21, 3)
+    assert verts.shape == (len(eval_ds), 778, 3)
+    assert np.isfinite(joints).all() and np.isfinite(verts).all()

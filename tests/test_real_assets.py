@@ -96,3 +96,107 @@ def test_real_smpl_lbs_finite():
     verts, joints = lbs_forward(params, pose, betas)
     assert verts.shape == (2, 6890, 3)
     assert np.isfinite(np.asarray(verts)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _has_smpl(), reason="real SMPL pkl not present")
+@pytest.mark.skipif(not os.path.isdir("/root/reference/lib"),
+                    reason="reference checkout not available")
+def test_real_smpl_cascade_activation_parity(tmp_path):
+    """End-to-end VALUE parity on the REAL 12288-row artifact (VERDICT r3
+    item #8): build the real SMPL pyramid, run a reference-format checkpoint
+    (random weights) through BOTH the imported reference modules
+    (lib/models/{posenet,meshnet}.py) and the converted JAX cascade at fp32,
+    and assert mesh/pose activations allclose — not just shapes."""
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from pose2mesh_release_tpu.body.smpl import SMPL
+    from pose2mesh_release_tpu.core.checkpoint import load_checkpoint
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.models.meshnet import extract_mesh
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    skeleton = ((0, 7), (7, 8), (8, 9), (9, 10), (8, 11), (11, 12), (12, 13),
+                (8, 14), (14, 15), (15, 16), (0, 1), (1, 2), (2, 3), (0, 4),
+                (4, 5), (5, 6))
+    smpl = SMPL(model_dir=SMPL_DIR)
+    pyr = build_pyramid(smpl.face, joint_num=17, skeleton=skeleton, levels=9)
+
+    # --- reference modules with the cfg/funcs shim (test_ref_checkpoint) ---
+    ns = lambda **kw: types.SimpleNamespace(**kw)
+    cfg = ns(DATASET=ns(target_joint_set="human36"),
+             MODEL=ns(posenet_pretrained=False, posenet_path=""))
+    core_mod = types.ModuleType("core")
+    core_config = types.ModuleType("core.config")
+    core_config.cfg = cfg
+    core_mod.config = core_config
+    funcs = types.ModuleType("funcs_utils")
+    funcs.load_checkpoint = lambda **kw: None
+    saved = {k: sys.modules.get(k) for k in
+             ("core", "core.config", "funcs_utils")}
+    sys.modules.update({"core": core_mod, "core.config": core_config,
+                        "funcs_utils": funcs})
+    sys.path.insert(0, "/root/reference/lib")
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    try:
+        import models.meshnet as ref_meshnet
+        import models.posenet as ref_posenet
+
+        graph_L = list(pyr.mesh_laplacians) + [sp.identity(2, format="csr"),
+                                               pyr.joint_laplacian]
+
+        class RefFlat(torch.nn.Module):  # pose2mesh_net.py:8-22
+            def __init__(s):
+                super().__init__()
+                s.pose_lifter = ref_posenet.get_model(
+                    17, hid_dim=64, num_layer=2, p_dropout=0.5)
+                s.pose2mesh = ref_meshnet.get_model(
+                    num_joint_input_chan=5, num_mesh_output_chan=3,
+                    graph_L=graph_L)
+
+            def forward(s, pose2d):
+                pose3d = s.pose_lifter(pose2d.view(len(pose2d), -1))
+                pose3d = pose3d.reshape(-1, 17, 3)
+                combine = torch.cat((pose2d, pose3d.detach() / 1000), dim=2)
+                return s.pose2mesh(combine), pose3d
+
+        torch.manual_seed(0)
+        ref = RefFlat().eval()
+        torch.save({"model_state_dict": ref.state_dict(), "epoch": 0,
+                    "train_log": [], "test_log": {"joint": []}},
+                   str(tmp_path / "final.pth.tar"))
+
+        x = np.random.default_rng(0).standard_normal((2, 17, 2)).astype(np.float32)
+        with torch.no_grad():
+            t_mesh, t_pose = ref(torch.from_numpy(x))
+        t_mesh = t_mesh.numpy()[:, pyr.vertex_slot, :]  # real 6890 rows
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        sys.path.remove("/root/reference/lib")
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    payload = load_checkpoint(str(tmp_path))
+    variables = {"params": payload["state"]["params"],
+                 "batch_stats": payload["state"]["batch_stats"]}
+    # production artifact: RCM ordering + banded levels (the conversion is
+    # layout-independent; the artifact's own gathers handle the reorder)
+    art = pack_pyramid(pyr, smpl.face)
+    assert art.mesh_ops[0].num_vertices == 6890  # the real 12288-row pyramid
+    model = Pose2Mesh(num_joint=17, posenet_hidden=64, use_pallas=False)
+    mesh_dev, pose3d = model.apply(variables, art, jnp.asarray(x), False)
+    ours_mesh = np.asarray(extract_mesh(art, mesh_dev))
+
+    np.testing.assert_allclose(np.asarray(pose3d), t_pose.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours_mesh, t_mesh, rtol=1e-3, atol=2e-4)
