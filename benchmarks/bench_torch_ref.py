@@ -75,7 +75,7 @@ def build_ref_cascade(torch, graph_L, num_joint=17):
     return RefFlat().eval()
 
 
-def main(batch=64, iters=10):
+def main(batch=64, iters=3):
     import scipy.sparse as sp
     import torch
 

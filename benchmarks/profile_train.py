@@ -139,12 +139,20 @@ def main(batch=64):
             return sum(losses[k] for k in keys)
         return losses["total"]
 
-    # --- forward-only ladder (carry = scalar chained into the loss) ---
+    # --- forward-only ladder; the carry PERTURBS the input so the scan
+    # body is not loop-invariant (else XLA hoists the whole forward out of
+    # the loop and the measurement reads ~0, bench.py methodology notes) ---
+    def _chained(c, bd):
+        bd = dict(bd)
+        bd["pose2d"] = bd["pose2d"] + c * 1e-30
+        return bd
+
     def fwd_eval3d(c, s, a, bd):
-        return c + loss_of(s.params, s.batch_stats, a, bd, False) * 1e-30
+        return c + loss_of(s.params, s.batch_stats, a, _chained(c, bd),
+                           False) * 1e-30
 
     def fwd_train(c, s, a, bd):
-        return c + loss_of(s.params, s.batch_stats, a, bd, True,
+        return c + loss_of(s.params, s.batch_stats, a, _chained(c, bd), True,
                            rngs={"dropout": jax.random.PRNGKey(0)}) * 1e-30
 
     report("fwd_eval3d", _measure(fwd_eval3d, jnp.float32(0.0),

@@ -286,6 +286,22 @@ class MeshNet(nn.Module):
                 if op.padded_vertices != x.shape[0]:
                     x = jnp.pad(x, ((0, op.padded_vertices - x.shape[0]), (0, 0)))
                 flat = True
+            if graph_sharded and not block_flat:
+                # Pin the level's sharding ONCE at block entry (round-4
+                # collective audit: without this GSPMD re-derived a partial
+                # V-sharding for every dense-level pad/hop and inserted an
+                # all-gather per conv per direction — 17+ gathers/step,
+                # SCALING_r3's creep).  Band levels: V on 'graph' (the halo
+                # path's contract); dense/joint levels: V replicated, so
+                # exactly ONE gather happens at each band->dense boundary
+                # and the dense stack computes locally.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.halo import halo_supported
+                vspec = ("graph" if op.kind == "band"
+                         and halo_supported(op, self.spmd_mesh) else None)
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.spmd_mesh, P(vspec, "data", None)))
             input_x = x
             has_skip = 0 < i < n_blocks - 1
             pack_g = 1  # current lane-packing factor of x (flat path)

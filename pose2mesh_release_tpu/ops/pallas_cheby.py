@@ -729,27 +729,46 @@ def fused_cheby_project_relu(op, x, W, b):
 
 
 def _fused_bwd(T, res, g):
+    # Dtype discipline (round-4 train-step profile, benchmarks/
+    # profile_train.py: the backward alone measured ~98 ms/batch64 — the
+    # ENTIRE train-step overhang): every big operand stays in the
+    # activation dtype (bf16) with f32 accumulation REQUESTED FROM the
+    # matmul (preferred_element_type) rather than materialized — an
+    # explicit .astype(f32) on a (V*B, F) activation before the dW dot
+    # wrote ~226 MB f32 copies per conv, and f32 cotangents doubled every
+    # hop's lane traffic.  Params (W) are f32; only the small weight is
+    # cast down.
     band_val, x, W = res
     V, B, F = x.shape
     Fout = W.shape[1]
-    W0, W1, W2 = W[:F], W[F:2 * F], W[2 * F:]
+    Wb = W.astype(x.dtype)
+    W0, W1, W2 = Wb[:F], Wb[F:2 * F], Wb[2 * F:]
 
     # recompute the basis (cheaper than saving it; hops reuse the kernel)
     z1 = _hop_call(band_val, x, T)
-    z2 = 2.0 * _hop_call(band_val, z1, T) - x
+    z2 = (2.0 * _hop_call(band_val, z1, T).astype(jnp.float32)
+          - x.astype(jnp.float32)).astype(x.dtype)
 
     g2 = g.reshape(-1, Fout)
 
     def dW(z):
-        return jnp.dot(z.reshape(-1, F).T.astype(jnp.float32),
-                       g2.astype(jnp.float32))
+        # bf16 operands, f32 MXU accumulation — no casted activation copy
+        return jnp.dot(z.reshape(-1, F).T, g2,
+                       preferred_element_type=jnp.float32)
 
     dW_full = jnp.concatenate([dW(x), dW(z1), dW(z2)], axis=0).astype(W.dtype)
     db = g2.astype(jnp.float32).sum(axis=0).astype(W.dtype)
 
-    gz2 = (g2 @ W2.T).reshape(V, B, F)
-    gz1 = (g2 @ W1.T).reshape(V, B, F) + 2.0 * _hop_call(band_val, gz2, T)
-    gx = (g2 @ W0.T).reshape(V, B, F) - gz2 + _hop_call(band_val, gz1, T)
+    def proj_t(w):
+        return jnp.dot(g2, w.T,
+                       preferred_element_type=jnp.float32).reshape(V, B, F)
+
+    gz2 = proj_t(W2).astype(x.dtype)
+    gz1 = (proj_t(W1)
+           + 2.0 * _hop_call(band_val, gz2, T).astype(jnp.float32)
+           ).astype(x.dtype)
+    gx = (proj_t(W0) - gz2.astype(jnp.float32)
+          + _hop_call(band_val, gz1, T).astype(jnp.float32))
     return jnp.zeros_like(band_val), gx.astype(x.dtype), dW_full, db
 
 
