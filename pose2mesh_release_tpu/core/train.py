@@ -88,6 +88,7 @@ def make_train_step(
                 mesh, pose3d, reg_pose, batch, art.faces,
                 normal_weight=normal_weight, edge_weight=edge_weight,
                 joint_weight=joint_weight, use_edge_loss=use_edge_loss,
+                face_inv=art.face_inv,
             )
             return losses["total"], (losses, mutated["batch_stats"])
 

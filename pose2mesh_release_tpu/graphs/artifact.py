@@ -130,6 +130,12 @@ class PyramidArtifact:
     faces: jax.Array
     joint_num: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # face_inv[c]: (V, Kc) int32 — faces where vertex v appears as corner c,
+    # padded with num_faces.  The face-loss VJPs turn their cotangent
+    # scatter-adds into gathers over these tables (TPU scatters serialize;
+    # round-4 train profile measured the face losses at ~11 ms/step of the
+    # backward before this).  Empty tuple = fall back to autodiff scatter.
+    face_inv: Tuple[jax.Array, ...] = ()
 
     @property
     def level_sizes(self) -> Tuple[int, ...]:
@@ -450,16 +456,40 @@ def pack_pyramid(
     pos0[layouts[0]] = np.arange(len(layouts[0]))
     vertex_gather = jnp.asarray(pos0[pyr.vertex_slot].astype(np.int32))
 
+    faces_np = (np.asarray(faces, dtype=np.int32) if faces is not None
+                else np.zeros((0, 3), np.int32))
     return PyramidArtifact(
         mesh_ops=tuple(mesh_ops),
         joint_op=joint_op,
         up_idx=tuple(up_idx),
         vertex_gather=vertex_gather,
-        faces=(jnp.asarray(np.asarray(faces, dtype=np.int32))
-               if faces is not None else jnp.zeros((0, 3), jnp.int32)),
+        faces=jnp.asarray(faces_np),
         joint_num=pyr.joint_num,
         num_vertices=pyr.num_vertices,
+        face_inv=face_inverse_tables(faces_np, pyr.num_vertices),
     )
+
+
+def face_inverse_tables(faces_np: np.ndarray,
+                        num_v: int) -> Tuple[jax.Array, ...]:
+    """Per-corner ELL inverse of the face list: table[c][v] lists the faces
+    where vertex v is corner c (padded with num_faces, pointing at a zero
+    pad row of the cotangent)."""
+    F = faces_np.shape[0]
+    if F == 0:
+        return ()
+    out = []
+    for c in range(3):
+        col = faces_np[:, c].astype(np.int64)
+        order = np.argsort(col, kind="stable")
+        counts = np.bincount(col, minlength=num_v)
+        K = max(int(counts.max()), 1)
+        tab = np.full((num_v, K), F, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(F) - starts[col[order]]
+        tab[col[order], pos] = order.astype(np.int32)
+        out.append(jnp.asarray(tab))
+    return tuple(out)
 
 
 def _flatten_for_save(art: PyramidArtifact) -> Dict[str, np.ndarray]:
@@ -470,6 +500,8 @@ def _flatten_for_save(art: PyramidArtifact) -> Dict[str, np.ndarray]:
         "vertex_gather": np.asarray(art.vertex_gather),
         "faces": np.asarray(art.faces),
     }
+    for c, tab in enumerate(art.face_inv):
+        out[f"face_inv/{c}"] = np.asarray(tab)
     def put(prefix: str, op: LevelOperator):
         out[f"{prefix}/kind"] = np.bytes_(op.kind)
         out[f"{prefix}/num_vertices"] = np.int64(op.num_vertices)
@@ -525,4 +557,6 @@ def load_artifact(path: str) -> PyramidArtifact:
         faces=jnp.asarray(z["faces"]),
         joint_num=int(z["meta/joint_num"]),
         num_vertices=int(z["meta/num_vertices"]),
+        face_inv=tuple(jnp.asarray(z[f"face_inv/{c}"]) for c in range(3)
+                       if f"face_inv/{c}" in z),
     )

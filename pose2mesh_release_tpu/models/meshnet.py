@@ -298,10 +298,13 @@ class MeshNet(nn.Module):
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from ..parallel.halo import halo_supported
+                shape = dict(self.spmd_mesh.shape)
                 vspec = ("graph" if op.kind == "band"
-                         and halo_supported(op, self.spmd_mesh) else None)
+                         and halo_supported(op, self.spmd_mesh)
+                         and x.shape[0] % shape.get("graph", 1) == 0 else None)
+                bspec = "data" if x.shape[1] % shape.get("data", 1) == 0 else None
                 x = jax.lax.with_sharding_constraint(
-                    x, NamedSharding(self.spmd_mesh, P(vspec, "data", None)))
+                    x, NamedSharding(self.spmd_mesh, P(vspec, bspec, None)))
             input_x = x
             has_skip = 0 < i < n_blocks - 1
             pack_g = 1  # current lane-packing factor of x (flat path)

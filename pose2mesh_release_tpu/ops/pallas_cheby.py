@@ -178,12 +178,27 @@ def _band_cat(band_val: jax.Array) -> jax.Array:
     return band_val.transpose(1, 2, 0, 3).reshape(nt, T, nbd * T)
 
 
-def _hop_kernel_factory(nbd):
+def _hop_kernel_factory(nbd, m):
+    """m output row-tiles per program (round-4: the ungrouped m=1 hop read
+    each x tile 2k+1 times and carried one program per tile — the training
+    backward, which chains hops outside the fused forward kernel, spent
+    most of its time here).  Per output tile j: 2k+1 per-diagonal
+    (T, T) @ (T, TC) matmuls over the shared x window refs."""
+    k = nbd // 2
+
     def kernel(*refs):
-        band_ref, x_refs, out_ref = refs[0], refs[1:1 + nbd], refs[-1]
-        xcat = jnp.concatenate([r[:] for r in x_refs], axis=0)
-        acc = jnp.dot(band_ref[0], xcat, preferred_element_type=jnp.float32)
-        out_ref[:] = acc.astype(out_ref.dtype)
+        band_refs = refs[:m]                     # row j -> (1, T, nbd*T)
+        x_refs = refs[m:m + m + 2 * k]           # tiles t*m + [-k .. m-1+k]
+        out_ref = refs[-1]
+        T = band_refs[0].shape[1]
+        for j in range(m):
+            br = band_refs[j]
+            acc = jnp.dot(br[0][:, 0:T], x_refs[j][:],
+                          preferred_element_type=jnp.float32)
+            for d in range(1, nbd):
+                acc += jnp.dot(br[0][:, d * T:(d + 1) * T], x_refs[j + d][:],
+                               preferred_element_type=jnp.float32)
+            out_ref[j * T:(j + 1) * T, :] = acc.astype(out_ref.dtype)
     return kernel
 
 
@@ -192,33 +207,42 @@ def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
     nbd, nt = band_val.shape[0], band_val.shape[1]
     k = nbd // 2
     V, B, F = x.shape
-    Vp = nt * T
+    m = _pick_m(nt, k=k)
+    nt_pad = -(-nt // m) * m
+    Vp = nt_pad * T
     x2 = x.reshape(V, B * F)
     if Vp != V:
         x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+    band = band_val
+    if nt_pad != nt:
+        band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
     C = B * F
     TC = _col_chunk(C)
     ncc = C // TC
 
+    def bspec(j):
+        return pl.BlockSpec(
+            (1, T, nbd * T),
+            lambda c, t: (jnp.clip(t * m + j, 0, nt_pad - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
     def xspec(shift):
         return pl.BlockSpec(
             (T, TC),
-            lambda c, t: (jnp.clip(t + shift, 0, nt - 1), c),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), c),
             memory_space=pltpu.VMEM,
         )
 
     out = pl.pallas_call(
-        _hop_kernel_factory(nbd),
-        grid=(ncc, nt),
-        in_specs=[
-            pl.BlockSpec((1, T, nbd * T), lambda c, t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [xspec(s) for s in range(-k, k + 1)],
-        out_specs=pl.BlockSpec((T, TC), lambda c, t: (t, c),
+        _hop_kernel_factory(nbd, m),
+        grid=(ncc, nt_pad // m),
+        in_specs=[bspec(j) for j in range(m)]
+        + [xspec(s) for s in range(-k, m + k)],
+        out_specs=pl.BlockSpec((m * T, TC), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, C), x.dtype),
         interpret=_interpret(),
-    )(_band_cat(band_val.astype(x.dtype)), *([x2] * nbd))
+    )(*([_band_cat(band.astype(x.dtype))] * m + [x2] * (m + 2 * k)))
     return out[:V].reshape(V, B, F)
 
 
@@ -729,47 +753,48 @@ def fused_cheby_project_relu(op, x, W, b):
 
 
 def _fused_bwd(T, res, g):
-    # Dtype discipline (round-4 train-step profile, benchmarks/
-    # profile_train.py: the backward alone measured ~98 ms/batch64 — the
-    # ENTIRE train-step overhang): every big operand stays in the
-    # activation dtype (bf16) with f32 accumulation REQUESTED FROM the
-    # matmul (preferred_element_type) rather than materialized — an
-    # explicit .astype(f32) on a (V*B, F) activation before the dW dot
-    # wrote ~226 MB f32 copies per conv, and f32 cotangents doubled every
-    # hop's lane traffic.  Params (W) are f32; only the small weight is
-    # cast down.
+    # Round-4 rewrite (benchmarks/profile_train.py measured the backward at
+    # ~98 ms/batch64 — the ENTIRE train-step overhang over a 17 ms
+    # forward).  Two structural fixes over the naive VJP:
+    #
+    #   1. NO basis recompute.  L is symmetric, so every z1/z2 term folds
+    #      onto hops of the COTANGENT instead:
+    #        y  = x W0 + (Lx) W1 + (2L^2x - x) W2
+    #        dW0 = x^T g          dW1 = x^T (Lg)      dW2 = 2 x^T (L^2g) - dW0
+    #        gx  = g (W0-W2)^T + (Lg) W1^T + 2 (L^2g) W2^T
+    #      Two hops total (g1 = Lg, g2 = L^2g), reused by BOTH the weight
+    #      and input gradients — vs five hops (2 recompute + 3 chained) in
+    #      the old form.
+    #   2. Both gradient contractions run as ONE K=3 concatenated matmul
+    #      each (the same trick as the forward's basis projection), with
+    #      bf16 operands and f32 MXU accumulation — no casted (V*B, F)
+    #      activation copies.
     band_val, x, W = res
     V, B, F = x.shape
     Fout = W.shape[1]
     Wb = W.astype(x.dtype)
     W0, W1, W2 = Wb[:F], Wb[F:2 * F], Wb[2 * F:]
 
-    # recompute the basis (cheaper than saving it; hops reuse the kernel)
-    z1 = _hop_call(band_val, x, T)
-    z2 = (2.0 * _hop_call(band_val, z1, T).astype(jnp.float32)
-          - x.astype(jnp.float32)).astype(x.dtype)
+    g1 = _hop_call(band_val, g, T)       # L g
+    g2h = _hop_call(band_val, g1, T)     # L^2 g
+    gcat = jnp.concatenate(
+        [g.reshape(-1, Fout), g1.reshape(-1, Fout), g2h.reshape(-1, Fout)],
+        axis=1)                           # (V*B, 3*Fout)
 
-    g2 = g.reshape(-1, Fout)
+    # dW blocks from one (F, V*B) @ (V*B, 3*Fout) matmul
+    dWcat = jnp.dot(x.reshape(-1, F).T, gcat,
+                    preferred_element_type=jnp.float32)
+    dW0 = dWcat[:, :Fout]
+    dW1 = dWcat[:, Fout:2 * Fout]
+    dW2 = 2.0 * dWcat[:, 2 * Fout:] - dW0
+    dW_full = jnp.concatenate([dW0, dW1, dW2], axis=0).astype(W.dtype)
+    db = g.reshape(-1, Fout).astype(jnp.float32).sum(axis=0).astype(W.dtype)
 
-    def dW(z):
-        # bf16 operands, f32 MXU accumulation — no casted activation copy
-        return jnp.dot(z.reshape(-1, F).T, g2,
-                       preferred_element_type=jnp.float32)
-
-    dW_full = jnp.concatenate([dW(x), dW(z1), dW(z2)], axis=0).astype(W.dtype)
-    db = g2.astype(jnp.float32).sum(axis=0).astype(W.dtype)
-
-    def proj_t(w):
-        return jnp.dot(g2, w.T,
-                       preferred_element_type=jnp.float32).reshape(V, B, F)
-
-    gz2 = proj_t(W2).astype(x.dtype)
-    gz1 = (proj_t(W1)
-           + 2.0 * _hop_call(band_val, gz2, T).astype(jnp.float32)
-           ).astype(x.dtype)
-    gx = (proj_t(W0) - gz2.astype(jnp.float32)
-          + _hop_call(band_val, gz1, T).astype(jnp.float32))
-    return jnp.zeros_like(band_val), gx.astype(x.dtype), dW_full, db
+    # gx from one (V*B, 3*Fout) @ (3*Fout, F) matmul
+    Wstack = jnp.concatenate([(W0 - W2).T, W1.T, 2.0 * W2.T], axis=0)
+    gx = jnp.dot(gcat, Wstack, preferred_element_type=jnp.float32)
+    return (jnp.zeros_like(band_val), gx.reshape(V, B, F).astype(x.dtype),
+            dW_full, db)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
