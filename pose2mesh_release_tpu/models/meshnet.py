@@ -67,6 +67,53 @@ def channel_interp_matrix(fin: int, fout: int) -> np.ndarray:
     return M
 
 
+class _MaskedBatchNorm(nn.Module):
+    """BatchNorm over (V, B) rows of a ROW-PADDED (Vp, B, F) tensor whose
+    pad rows are zero: statistics divide by the REAL row count, reproducing
+    plain nn.BatchNorm on the unpadded tensor bit-for-bit in expectation.
+
+    Exists for the graph-sharded training path, which keeps band-level
+    activations padded to the pack-time tile count so the halo shard_map's
+    splits line up with the activation sharding (slicing/padding between
+    6890-row and 7168-row forms made GSPMD reshard — an all-gather — around
+    EVERY hop, the round-4 flagship-dryrun audit finding).  Parameter and
+    batch-stats layout matches nn.BatchNorm (pass name="BatchNorm_0") so
+    checkpoints are interchangeable with the unsharded path."""
+
+    real_rows: int
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        F = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (F,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (F,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((F,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((F,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = self.real_rows * y.shape[1]
+            yf = y.astype(jnp.float32)
+            mean = yf.sum(axis=(0, 1)) / n          # pad rows are zero
+            var = (yf * yf).sum(axis=(0, 1)) / n - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value \
+                    + (1.0 - self.momentum) * mean
+                # flax BatchNorm stores the biased batch var in the
+                # running average, same as torch's default
+                ra_var.value = self.momentum * ra_var.value \
+                    + (1.0 - self.momentum) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (y.astype(jnp.float32) - mean) * inv + bias
+        return out.astype(self.dtype)
+
+
 class ChebConv(nn.Module):
     """One Chebyshev graph convolution: K-term basis -> Dense -> BN -> ReLU.
 
@@ -207,12 +254,30 @@ class ChebConv(nn.Module):
             if folded:
                 return nn.relu(y) if self.use_relu else y
 
+        row_padded = (y.ndim == 3 and op.kind == "band"
+                      and y.shape[0] > op.num_vertices)
+        if row_padded:
+            # graph-sharded band levels stay padded to the tile count; the
+            # projection put bias values on pad rows — zero them so masked
+            # BN statistics (and downstream sums) see exact zeros
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1, 1), 0)
+                    < op.num_vertices)
+            y = jnp.where(mask, y, jnp.zeros_like(y))
         if self.use_bn:
             # torch BatchNorm1d over B*V rows == flax BN reducing all
             # non-feature axes (momentum 0.9 == torch momentum 0.1);
             # statistics stay in f32 regardless of compute dtype
-            y = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(y)
+            if row_padded:
+                y = _MaskedBatchNorm(
+                    real_rows=op.num_vertices,
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype,
+                    name="BatchNorm_0")(y)
+                y = jnp.where(mask, y, jnp.zeros_like(y))
+            else:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(y)
         if self.use_relu:
             y = nn.relu(y)
         return y
@@ -291,17 +356,26 @@ class MeshNet(nn.Module):
                 # collective audit: without this GSPMD re-derived a partial
                 # V-sharding for every dense-level pad/hop and inserted an
                 # all-gather per conv per direction — 17+ gathers/step,
-                # SCALING_r3's creep).  Band levels: V on 'graph' (the halo
-                # path's contract); dense/joint levels: V replicated, so
+                # SCALING_r3's creep).  Band levels: activations PADDED to
+                # the pack-time tile count and V-sharded on 'graph' — the
+                # padded split is tile-aligned, so the halo shard_map's
+                # in_specs match the incoming sharding exactly and no
+                # reshard (all-gather) appears around the hops (flagship
+                # dryrun audit finding; pad rows are masked through BN by
+                # _MaskedBatchNorm).  Dense/joint levels: V replicated, so
                 # exactly ONE gather happens at each band->dense boundary
                 # and the dense stack computes locally.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from ..parallel.halo import halo_supported
                 shape = dict(self.spmd_mesh.shape)
-                vspec = ("graph" if op.kind == "band"
-                         and halo_supported(op, self.spmd_mesh)
-                         and x.shape[0] % shape.get("graph", 1) == 0 else None)
+                vspec = None
+                if op.kind == "band" and halo_supported(op, self.spmd_mesh):
+                    vp = op.band_val.shape[1] * op.block_size
+                    if x.shape[0] == op.num_vertices and vp != x.shape[0]:
+                        x = jnp.pad(x, ((0, vp - x.shape[0]), (0, 0), (0, 0)))
+                    if x.shape[0] % shape.get("graph", 1) == 0:
+                        vspec = "graph"
                 bspec = "data" if x.shape[1] % shape.get("data", 1) == 0 else None
                 x = jax.lax.with_sharding_constraint(
                     x, NamedSharding(self.spmd_mesh, P(vspec, bspec, None)))
@@ -404,6 +478,11 @@ class MeshNet(nn.Module):
                         vp_next = next_op.padded_vertices
                         up = jnp.pad(up, (0, vp_next - up.shape[0]))
                     x = jnp.take(x, up, axis=0, mode="clip")
+        # graph-sharded band path keeps rows padded to the tile count;
+        # drop the pad rows once at the very end
+        n_fine = art.mesh_ops[0].num_vertices
+        if x.shape[0] != n_fine:
+            x = x[:n_fine]
         # (V, B, 3) -> (B, V, 3); coordinates leave the net in f32
         return jnp.swapaxes(x, 0, 1).astype(jnp.float32)
 

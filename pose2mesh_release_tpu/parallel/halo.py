@@ -83,23 +83,35 @@ def halo_banded_hop(
     n_dev = mesh.shape[axis]
     V, B, F = x.shape
     # zero-pad the tile count to a multiple of the axis size: padded tiles
-    # multiply all-zero band blocks, so results are unaffected
+    # multiply all-zero band blocks, so results are unaffected.  (The
+    # graph-sharded MeshNet keeps activations padded to the pack-time tile
+    # count, so this pad — and the exit slice — are no-ops there and no
+    # GSPMD reshard appears around the hop.)
     nt_pad = -(-nt // n_dev) * n_dev
     Vp = nt_pad * T
-    x2 = x.reshape(V, B * F)
     if Vp != V:
-        x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
-    C = B * F
+        x = jnp.pad(x, ((0, Vp - V), (0, 0), (0, 0)))
     band = op.band_val.astype(x.dtype)
     if nt_pad != nt:
         band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
 
     k = op.band_k
+    # keep the batch dim SHARDED through the hop: the hop only touches the
+    # vertex axis, so the (V, B, F) form passes 'data'-sharded batches
+    # straight through — flattening to (V, B*F) outside shard_map merged a
+    # sharded dim into lanes and made GSPMD all-gather the batch axis
+    # around every conv (round-4 flagship dryrun audit)
+    data_axis = None
+    for name, size in mesh.shape.items():
+        if name != axis and size > 1 and B % size == 0:
+            data_axis = name
+            break
 
     def local(band_l, x_l):
-        # band_l: (2k+1, nt/n, T, T); x_l: (Vp/n, C)
+        # band_l: (2k+1, nt/n, T, T); x_l: (Vp/n, B_l, F)
         idx = jax.lax.axis_index(axis)
-        xt = x_l.reshape(-1, T, C)
+        B_l = x_l.shape[1]
+        xt = x_l.reshape(-1, T, B_l * F)
         # halo: receive the right-neighbor's FIRST k tiles and the
         # left-neighbor's LAST k tiles (one ppermute per side carries all k)
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -113,11 +125,11 @@ def halo_banded_hop(
         from_left = jnp.where(idx == 0, zero, from_left)
         from_right = jnp.where(idx == n_dev - 1, zero, from_right)
         y = _local_band_hop(band_l, xt, from_left, from_right)
-        return y.reshape(-1, C)
+        return y.reshape(-1, B_l, F)
 
     out = shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis), P(axis)),
-        out_specs=P(axis),
-    )(band, x2)
-    return out[:V].reshape(V, B, F)
+        in_specs=(P(None, axis), P(axis, data_axis, None)),
+        out_specs=P(axis, data_axis, None),
+    )(band, x)
+    return out[:V]
