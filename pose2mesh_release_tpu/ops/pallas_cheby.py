@@ -217,7 +217,11 @@ def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
     if nt_pad != nt:
         band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
     C = B * F
-    TC = _col_chunk(C)
+    # 2048-lane chunks: the m-grouped window (m+2k x refs, double-buffered)
+    # plus the m-tile output must fit VMEM alongside the surrounding
+    # program's live set (4096-lane chunks OOM'd VMEM at the finest level
+    # in the round-4 backward)
+    TC = _col_chunk(C, target=2048)
     ncc = C // TC
 
     def bspec(j):
@@ -241,6 +245,9 @@ def _hop_call(band_val: jax.Array, x: jax.Array, T: int) -> jax.Array:
         out_specs=pl.BlockSpec((m * T, TC), lambda c, t: (t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Vp, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(*([_band_cat(band.astype(x.dtype))] * m + [x2] * (m + 2 * k)))
     return out[:V].reshape(V, B, F)

@@ -13,15 +13,17 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-__all__ = ["all_gather_sizes", "assert_no_large_all_gather"]
+__all__ = ["all_gather_sizes", "all_gather_entries",
+           "assert_no_large_all_gather"]
 
 _SHAPE_RE = re.compile(r"=\s*(?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^ ]*)\s*all-gather\(")
 _ELEM_RE = re.compile(r"[a-z0-9]+\[([0-9,]*)\]")
 
 
-def all_gather_sizes(hlo_text: str) -> List[int]:
-    """Result element counts of every all-gather in an HLO dump."""
-    sizes: List[int] = []
+def all_gather_entries(hlo_text: str) -> List[Tuple[int, str]]:
+    """(result element count, op_name metadata) of every all-gather."""
+    out: List[Tuple[int, str]] = []
+    name_re = re.compile(r'metadata={op_name="([^"]*)"')
     for line in hlo_text.splitlines():
         if "all-gather(" not in line:
             continue
@@ -40,22 +42,37 @@ def all_gather_sizes(hlo_text: str) -> List[int]:
                     n *= int(d)
             total += n
         if total:
-            sizes.append(total)
-    return sizes
+            m = name_re.search(line)
+            out.append((total, m.group(1) if m else ""))
+    return out
+
+
+def all_gather_sizes(hlo_text: str) -> List[int]:
+    """Result element counts of every all-gather in an HLO dump."""
+    return [s for s, _ in all_gather_entries(hlo_text)]
 
 
 def assert_no_large_all_gather(hlo_text: str, threshold_elems: int,
-                               context: str = "") -> None:
+                               context: str = "",
+                               allow_re: str | None = None) -> None:
     """Fail if any all-gather result reaches `threshold_elems` elements.
 
     `threshold_elems` should be the smallest V-sharded band activation
     (V_band_min * batch * min_feat): an all-gather that large means a
     sharded band tensor was replicated instead of halo-exchanged.
+
+    allow_re: optional regex over the op_name metadata for gathers that are
+    allowed regardless of size — e.g. the level-boundary upsample remaps
+    (`jit\\(_take\\)`), which shuffle the V axis by construction and occur
+    exactly once per level transition, not per conv/hop.
     """
-    sizes = all_gather_sizes(hlo_text)
-    big = [s for s in sizes if s >= threshold_elems]
+    entries = all_gather_entries(hlo_text)
+    allow = re.compile(allow_re) if allow_re else None
+    big = [(s, n) for s, n in entries
+           if s >= threshold_elems and not (allow and allow.search(n))]
     assert not big, (
-        f"{context}: {len(big)} all-gather op(s) at sizes {sorted(big)[-3:]} "
-        f">= band-activation threshold {threshold_elems}; the V-sharded "
-        f"band path must use collective-permute halos, not all-gather"
+        f"{context}: {len(big)} all-gather op(s) at "
+        f"{sorted(big)[-3:]} >= band-activation threshold {threshold_elems}; "
+        f"the V-sharded band path must use collective-permute halos, not "
+        f"all-gather"
     )
