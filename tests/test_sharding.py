@@ -268,3 +268,64 @@ def test_halo_model_matches_unsharded():
     fin_finest = base_model.blocks[-1][0]
     assert_no_large_all_gather(hlo, band_vmax * 4 * fin_finest,
                                context="halo model forward")
+
+
+@pytest.mark.slow
+def test_band_path_collective_schedule():
+    """Regression for the round-3/4 all-gather creep (VERDICT r3 item #5):
+    the compiled sharded train step must move band-level activations only
+    via collective-permute halos — any all-gather at band-activation size
+    must come from the level-boundary `_take` remaps (one per transition),
+    never from the conv/hop path (the round-4 audit found 17-44 per step
+    before the block-entry sharding pins + padded-activation fix)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_small
+    from pose2mesh_release_tpu.core.optim import make_preconditioner
+    from pose2mesh_release_tpu.core.train import TrainState, make_train_step
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+    from pose2mesh_release_tpu.parallel.audit import (
+        all_gather_entries, assert_no_large_all_gather,
+    )
+
+    art, model = _build_small()
+    rng = np.random.default_rng(0)
+    B, V, J = 8, art.num_vertices, art.joint_num
+    batch = {
+        "pose2d": jnp.asarray(rng.standard_normal((B, J, 2)), jnp.float32),
+        "mesh": jnp.asarray(rng.standard_normal((B, V, 3)) * 0.1, jnp.float32),
+        "mesh_valid": jnp.ones((B, V, 3), jnp.float32),
+        "reg_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "reg_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+        "lift_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100, jnp.float32),
+        "lift_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
+    }
+    j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
+    j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
+    mesh = make_mesh(graph_axis=2)
+    model = Pose2Mesh(num_joint=model.num_joint, blocks=model.blocks,
+                      spmd_mesh=mesh)
+    variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"], False)
+    tx = make_preconditioner("rmsprop")
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, tx, j_reg))
+    hlo = step.lower(
+        shard_state(mesh, state), shard_artifact(mesh, art),
+        shard_batch(mesh, batch), jnp.float32(1e-3), jnp.bool_(True),
+        jax.random.PRNGKey(1),
+    ).compile().as_text()
+
+    band_vp = [op.band_val.shape[1] * op.block_size
+               for op in art.mesh_ops if op.kind == "band"]
+    local_b = B // dict(mesh.shape)["data"]
+    thresh = min(band_vp) * local_b * 8  # smallest band act (F=8 test cfg)
+    # hop/conv path: gather-free (boundary _take remaps allowed)
+    assert_no_large_all_gather(hlo, thresh, context="band path",
+                               allow_re=r"jit\(_take\)")
+    # boundary remaps: bounded by one per level transition per direction
+    takes = [(s, n) for s, n in all_gather_entries(hlo)
+             if s >= thresh and "jit(_take)" in n]
+    n_transitions = len(art.mesh_ops)  # upsamples between consecutive levels
+    assert len(takes) <= 2 * n_transitions, takes
+    # the halo path must actually be present
+    assert hlo.count("collective-permute(") > 0
