@@ -454,7 +454,8 @@ def fused_conv_flat_commuted(op: LevelOperator, x2: jax.Array, batch: int,
 # channel shapes take the two-hop + XLA-projection path.
 
 def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
-                          skip_mode=None, Fs=0, out_3d=False):
+                          skip_mode=None, Fs=0, out_3d=False,
+                          keep_basis=False):
     """m output row-tiles per program, block-bandwidth k.  Window layout per
     program (grid index t): x refs cover tiles t*m + [-2k .. m-1+2k]
     (m+4k refs), band refs cover rows t*m + [-k .. m-1+k] (m+2k refs).
@@ -488,7 +489,12 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
         skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
         w_ref, bias_ref = rest[0], rest[1]
         skip_w_ref = rest[2] if skip_mode == "proj" else None
-        out_ref, z1_ref = rest[-2], rest[-1]
+        if keep_basis:
+            # extra outputs: the Chebyshev basis tiles (z1, z2) — the
+            # training backward reuses them for the weight gradients
+            out_ref, z1_out_ref, z2_out_ref, z1_ref = rest[-4:]
+        else:
+            out_ref, z1_ref = rest[-2], rest[-1]
         xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
         dt = out_ref.dtype
 
@@ -520,6 +526,9 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
             acc2 = jnp.dot(br[0], z1_ref[j * T:(j + nbd) * T, :],
                            preferred_element_type=jnp.float32)
             z2 = (2.0 * acc2 - xs[j + 2 * k].astype(jnp.float32)).astype(dt)
+            if keep_basis:
+                z1_out_ref[j * T:(j + 1) * T, :] = z1[j + k]
+                z2_out_ref[j * T:(j + 1) * T, :] = z2
             # basis-concat projection: ONE (T*BC, 3F) @ (3F, Fout) matmul
             def _rows(z):
                 return z.reshape(T, BC, F).reshape(T * BC, F)
@@ -666,7 +675,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
     )(*operands)
 
 
-def _fused_call(band_val, x, W, b, T, relu=False):
+def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False):
     nbd, nt = band_val.shape[0], band_val.shape[1]
     k = nbd // 2
     V, B, F = x.shape
@@ -708,8 +717,18 @@ def _fused_call(band_val, x, W, b, T, relu=False):
     x_specs = [xspec(i) for i in range(-2 * k, m + 2 * k)]   # m+4k
     band_in = _band_cat(band.astype(x.dtype))
 
+    out_specs = pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype)
+    if keep_basis:
+        basis_spec = pl.BlockSpec((m * T, BC * F), lambda c, t: (t, c),
+                                  memory_space=pltpu.VMEM)
+        basis_shape = jax.ShapeDtypeStruct((Vp, B * F), x.dtype)
+        out_specs = (out_specs, basis_spec, basis_spec)
+        out_shape = (out_shape, basis_shape, basis_shape)
     out = pl.pallas_call(
-        _fused_kernel_factory(T, BC, F, Fout, m, k, relu),
+        _fused_kernel_factory(T, BC, F, Fout, m, k, relu,
+                              keep_basis=keep_basis),
         grid=(ncc, nt_pad // m),
         in_specs=band_specs + x_specs + [
             pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
@@ -717,9 +736,8 @@ def _fused_call(band_val, x, W, b, T, relu=False):
             pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM(((m + 2 * k) * T, BC * F), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -727,6 +745,10 @@ def _fused_call(band_val, x, W, b, T, relu=False):
         interpret=_interpret(),
     )(*([band_in] * (m + 2 * k) + [x2] * (m + 4 * k)
         + [W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype)]))
+    if keep_basis:
+        y, z1, z2 = out
+        return (y[:V].reshape(V, B, Fout), z1[:V].reshape(V, B, F),
+                z2[:V].reshape(V, B, F))
     return out[:V].reshape(V, B, Fout)
 
 
@@ -782,26 +804,26 @@ def _fused_bwd(T, res, g):
     Wb = W.astype(x.dtype)
     W0, W1, W2 = Wb[:F], Wb[F:2 * F], Wb[2 * F:]
 
-    g1 = _hop_call(band_val, g, T)       # L g
-    g2h = _hop_call(band_val, g1, T)     # L^2 g
+    # The cotangent hops form the same Chebyshev basis as the forward:
+    # with g1 = Lg and h2 = 2L^2g - g (identical recurrence),
+    #   gx  = g W0^T + g1 W1^T + h2 W2^T
+    #   dW0 = x^T g      dW1 = (Lx)^T g = x^T g1     dW2 = x^T h2
+    # so ONE forward-fused-kernel call on g with the transposed weights
+    # computes the whole dx path AND emits (g1, h2) for the weight grads —
+    # no separate hop kernels, no basis recompute.
+    Wt = jnp.concatenate([W0.T, W1.T, W2.T], axis=0)      # (3*Fout, F)
+    zero_b = jnp.zeros((F,), x.dtype)
+    gx, g1, h2 = _fused_call(band_val, g, Wt, zero_b, T, keep_basis=True)
+
     gcat = jnp.concatenate(
-        [g.reshape(-1, Fout), g1.reshape(-1, Fout), g2h.reshape(-1, Fout)],
+        [g.reshape(-1, Fout), g1.reshape(-1, Fout), h2.reshape(-1, Fout)],
         axis=1)                           # (V*B, 3*Fout)
-
-    # dW blocks from one (F, V*B) @ (V*B, 3*Fout) matmul
-    dWcat = jnp.dot(x.reshape(-1, F).T, gcat,
-                    preferred_element_type=jnp.float32)
-    dW0 = dWcat[:, :Fout]
-    dW1 = dWcat[:, Fout:2 * Fout]
-    dW2 = 2.0 * dWcat[:, 2 * Fout:] - dW0
-    dW_full = jnp.concatenate([dW0, dW1, dW2], axis=0).astype(W.dtype)
+    dW_full = jnp.dot(x.reshape(-1, F).T, gcat,
+                      preferred_element_type=jnp.float32)
+    dW_full = dW_full.reshape(F, 3, Fout).transpose(1, 0, 2) \
+        .reshape(3 * F, Fout).astype(W.dtype)
     db = g.reshape(-1, Fout).astype(jnp.float32).sum(axis=0).astype(W.dtype)
-
-    # gx from one (V*B, 3*Fout) @ (3*Fout, F) matmul
-    Wstack = jnp.concatenate([(W0 - W2).T, W1.T, 2.0 * W2.T], axis=0)
-    gx = jnp.dot(gcat, Wstack, preferred_element_type=jnp.float32)
-    return (jnp.zeros_like(band_val), gx.reshape(V, B, F).astype(x.dtype),
-            dW_full, db)
+    return jnp.zeros_like(band_val), gx.astype(x.dtype), dW_full, db
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
