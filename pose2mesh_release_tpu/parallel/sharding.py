@@ -75,6 +75,7 @@ def shard_artifact(mesh: Mesh, art: PyramidArtifact) -> PyramidArtifact:
         up_idx=tuple(put(u) for u in art.up_idx),
         vertex_gather=put(art.vertex_gather),
         faces=put(art.faces),
+        face_inv=tuple(put(t) for t in art.face_inv),
         joint_num=art.joint_num,
         num_vertices=art.num_vertices,
     )
