@@ -804,26 +804,37 @@ def _fused_bwd(T, res, g):
     Wb = W.astype(x.dtype)
     W0, W1, W2 = Wb[:F], Wb[F:2 * F], Wb[2 * F:]
 
-    # The cotangent hops form the same Chebyshev basis as the forward:
-    # with g1 = Lg and h2 = 2L^2g - g (identical recurrence),
-    #   gx  = g W0^T + g1 W1^T + h2 W2^T
-    #   dW0 = x^T g      dW1 = (Lx)^T g = x^T g1     dW2 = x^T h2
-    # so ONE forward-fused-kernel call on g with the transposed weights
-    # computes the whole dx path AND emits (g1, h2) for the weight grads —
-    # no separate hop kernels, no basis recompute.
-    Wt = jnp.concatenate([W0.T, W1.T, W2.T], axis=0)      # (3*Fout, F)
-    zero_b = jnp.zeros((F,), x.dtype)
-    gx, g1, h2 = _fused_call(band_val, g, Wt, zero_b, T, keep_basis=True)
-
+    # The cotangent obeys the SAME Chebyshev recurrence as the forward:
+    # with g1 = Lg and g2h = L^2 g,
+    #   gx  = g (W0-W2)^T + g1 W1^T + 2 g2h W2^T
+    #   dW0 = x^T g    dW1 = x^T g1    dW2 = 2 x^T g2h - dW0
+    # Two grouped hops, shared by the weight AND input gradients, plus one
+    # K=3-concatenated matmul for each of dW and gx.
+    # (Negative result, measured on chip: routing the dx path through the
+    # forward fused kernel with keep_basis=True — mathematically identical,
+    # one kernel instead of two hops + one matmul — measured grad_eval 87.1
+    # vs 74.6 ms/batch64; the 3-output kernel schedules worse than the
+    # plain grouped hops.  The keep_basis plumbing remains for A/B.)
+    g1 = _hop_call(band_val, g, T)       # L g
+    g2h = _hop_call(band_val, g1, T)     # L^2 g
     gcat = jnp.concatenate(
-        [g.reshape(-1, Fout), g1.reshape(-1, Fout), h2.reshape(-1, Fout)],
+        [g.reshape(-1, Fout), g1.reshape(-1, Fout), g2h.reshape(-1, Fout)],
         axis=1)                           # (V*B, 3*Fout)
-    dW_full = jnp.dot(x.reshape(-1, F).T, gcat,
-                      preferred_element_type=jnp.float32)
-    dW_full = dW_full.reshape(F, 3, Fout).transpose(1, 0, 2) \
-        .reshape(3 * F, Fout).astype(W.dtype)
+
+    # dW blocks from one (F, V*B) @ (V*B, 3*Fout) matmul
+    dWcat = jnp.dot(x.reshape(-1, F).T, gcat,
+                    preferred_element_type=jnp.float32)
+    dW0 = dWcat[:, :Fout]
+    dW1 = dWcat[:, Fout:2 * Fout]
+    dW2 = 2.0 * dWcat[:, 2 * Fout:] - dW0
+    dW_full = jnp.concatenate([dW0, dW1, dW2], axis=0).astype(W.dtype)
     db = g.reshape(-1, Fout).astype(jnp.float32).sum(axis=0).astype(W.dtype)
-    return jnp.zeros_like(band_val), gx.astype(x.dtype), dW_full, db
+
+    # gx from one (V*B, 3*Fout) @ (3*Fout, F) matmul
+    Wstack = jnp.concatenate([(W0 - W2).T, W1.T, 2.0 * W2.T], axis=0)
+    gx = jnp.dot(gcat, Wstack, preferred_element_type=jnp.float32)
+    return (jnp.zeros_like(band_val), gx.reshape(V, B, F).astype(x.dtype),
+            dW_full, db)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
