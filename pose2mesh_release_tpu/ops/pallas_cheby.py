@@ -559,9 +559,10 @@ def _pick_m(nt: int, require_divisor: bool = False, k: int = 1) -> int:
     """Output row-tiles per program: prefer a divisor of nt (pack_pyramid
     pads band tile counts to multiples of the group) so no runtime row
     padding is ever needed; the (m+2k)/m halo-recompute overhead shrinks
-    with m and is steeper for wider bands, so k=2 defaults to m=8."""
-    default = "8" if k >= 2 else "4"
-    m_target = int(os.environ.get("P2M_FUSED_M", default))
+    with m.  m=8 default for every k (round-4 A/B, benchmarks/ab_m.py:
+    V=6890 128->128 1378 vs 1669 us, V=1849 commuted 773 vs 853; levels
+    whose tile count m does not divide fall back to 4 automatically)."""
+    m_target = int(os.environ.get("P2M_FUSED_M", "8"))
     for cand in (m_target, m_target // 2, m_target // 4, 2):
         if cand >= 2 and nt % cand == 0 and nt >= 2 * cand:
             return cand
