@@ -134,8 +134,7 @@ def main(batch=64):
         reg_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0,
                               preferred_element_type=jnp.float32)
         losses = pose2mesh_loss(mesh, pose3d, reg_pose, bd, a.faces,
-                                use_edge_loss=jnp.bool_(True),
-                                face_inv=a.face_inv)
+                                use_edge_loss=jnp.bool_(True))
         if keys is not None:
             return sum(losses[k] for k in keys)
         return losses["total"]
