@@ -676,6 +676,166 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
     )(*operands)
 
 
+def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
+    """Fully fused conv backward: per program, the cotangent's Chebyshev
+    basis (g1 = Lg, h2 = 2L(Lg) - g — the forward recurrence applied to g)
+    feeds BOTH the input gradient (dx = g Wt0 + g1 Wt1 + h2 Wt2, Wt = W^T
+    blocks) and the weight/bias gradients, which accumulate in VMEM
+    scratch across the whole grid and flush once at the last program —
+    the XLA formulation materialized a (V*B, 3*Fout) basis concat and two
+    ~1 GB/conv gradient matmul streams per finest-level conv."""
+    nbd = 2 * k + 1
+    n_band = m + 2 * k
+    n_x = m + 4 * k
+
+    def kernel(*refs):
+        band_refs = refs[:n_band]
+        g_refs = refs[n_band:n_band + n_x]
+        x_refs = refs[n_band + n_x:n_band + n_x + m]
+        wt_ref = refs[n_band + n_x + m]
+        dx_ref, dw_ref, db_ref, g1_ref, dw_acc, db_acc = refs[-6:]
+        dt = dx_ref.dtype
+        gs = [r[:] for r in g_refs]
+
+        c_id, t_id = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(jnp.logical_and(c_id == 0, t_id == 0))
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
+
+        g1 = []
+        for a in range(-k, m + k):
+            br = band_refs[a + k]
+            acc1 = jnp.dot(br[0][:, 0:T], gs[a + k],
+                           preferred_element_type=jnp.float32)
+            for d in range(1, nbd):
+                acc1 += jnp.dot(br[0][:, d * T:(d + 1) * T], gs[a + k + d],
+                                preferred_element_type=jnp.float32)
+            g1t = acc1.astype(dt)
+            g1.append(g1t)
+            g1_ref[(a + k) * T:(a + k + 1) * T, :] = g1t
+
+        def _rows(z, f):
+            return z.reshape(T, BC, f).reshape(T * BC, f)
+
+        for j in range(m):
+            br = band_refs[j + k]
+            acc2 = jnp.dot(br[0], g1_ref[j * T:(j + nbd) * T, :],
+                           preferred_element_type=jnp.float32)
+            h2 = (2.0 * acc2 - gs[j + 2 * k].astype(jnp.float32)).astype(dt)
+            gr = _rows(gs[j + 2 * k], Fout)
+            g1r = _rows(g1[j + k], Fout)
+            h2r = _rows(h2, Fout)
+            # dx_j = [g, g1, h2] @ [W0^T; W1^T; W2^T] — one K=3*Fout matmul
+            gb = jnp.concatenate([gr, g1r, h2r], axis=1)
+            acc = jnp.dot(gb, wt_ref[:], preferred_element_type=jnp.float32)
+            dx_ref[j * T:(j + 1) * T, :] = (
+                acc.astype(dt).reshape(T, BC, F).reshape(T, BC * F))
+            # dW accumulation: x^T @ [g, g1, h2] -> (F, 3*Fout) f32
+            xr = _rows(x_refs[j][:], F)
+            dw_acc[:, :] += jnp.dot(xr.T, gb,
+                                    preferred_element_type=jnp.float32)
+            db_acc[0, :] += gr.astype(jnp.float32).sum(axis=0)
+
+        @pl.when(jnp.logical_and(c_id == ncc - 1, t_id == ntg - 1))
+        def _():
+            dw_ref[:] = dw_acc[:]
+            db_ref[:] = db_acc[:]
+
+    return kernel
+
+
+def _fused_bwd_call(band_val, g, x, W, T):
+    """Fused backward launch: returns (gx (V,B,F), dW (3F,Fout) f32-cast,
+    db (Fout,)).  g (V,B,Fout) cotangent, x (V,B,F) saved input, W the
+    canonical basis-major (3F, Fout) weight."""
+    nbd, nt = band_val.shape[0], band_val.shape[1]
+    k = nbd // 2
+    V, B, F = x.shape
+    Fout = g.shape[-1]
+    m = _pick_m(nt, k=k)
+    nt_pad = -(-nt // m) * m
+    Vp = nt_pad * T
+    g2 = g.reshape(V, B * Fout)
+    x2 = x.reshape(V, B * F)
+    if Vp != V:
+        g2 = jnp.pad(g2, ((0, Vp - V), (0, 0)))
+        x2 = jnp.pad(x2, ((0, Vp - V), (0, 0)))
+    band = band_val
+    if nt_pad != nt:
+        band = jnp.pad(band, ((0, 0), (0, nt_pad - nt), (0, 0), (0, 0)))
+    lane_cap = int(os.environ.get("P2M_FUSED_LANES", "2048"))
+    BC = 1
+    for c in range(1, B + 1):
+        if B % c == 0 and c * max(F, Fout) <= lane_cap:
+            BC = c
+    ncc = B // BC
+    ntg = nt_pad // m
+    Wb = W.astype(x.dtype)
+    Wt = jnp.concatenate(
+        [Wb[:F].T, Wb[F:2 * F].T, Wb[2 * F:].T], axis=0)  # (3*Fout, F)
+
+    def bspec(shift):
+        return pl.BlockSpec(
+            (1, T, nbd * T),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def gspec(shift):
+        return pl.BlockSpec(
+            (T, BC * Fout),
+            lambda c, t: (jnp.clip(t * m + shift, 0, nt_pad - 1), c),
+            memory_space=pltpu.VMEM)
+
+    def xspec(j):
+        return pl.BlockSpec(
+            (T, BC * F), (lambda j: lambda c, t: (t * m + j, c))(j),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [bspec(s) for s in range(-k, m + k)]
+    operands = [_band_cat(band.astype(x.dtype))] * (m + 2 * k)
+    in_specs += [gspec(i) for i in range(-2 * k, m + 2 * k)]
+    operands += [g2] * (m + 4 * k)
+    in_specs += [xspec(j) for j in range(m)]
+    operands += [x2] * m
+    in_specs.append(pl.BlockSpec((3 * Fout, F), lambda c, t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(Wt)
+
+    dx, dW_cf, db2 = pl.pallas_call(
+        _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg),
+        grid=(ncc, ntg),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((m * T, BC * F), lambda c, t: (t, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 3 * Fout), lambda c, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B * F), x.dtype),
+            jax.ShapeDtypeStruct((F, 3 * Fout), jnp.float32),
+            jax.ShapeDtypeStruct((1, Fout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((m + 2 * k) * T, BC * Fout), x.dtype),
+            pltpu.VMEM((F, 3 * Fout), jnp.float32),
+            pltpu.VMEM((1, Fout), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(*operands)
+    gx = dx[:V].reshape(V, B, F)
+    dW_full = dW_cf.reshape(F, 3, Fout).transpose(1, 0, 2).reshape(
+        3 * F, Fout)
+    return gx, dW_full, db2[0]
+
+
 def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False):
     nbd, nt = band_val.shape[0], band_val.shape[1]
     k = nbd // 2
@@ -802,6 +962,16 @@ def _fused_bwd(T, res, g):
     band_val, x, W = res
     V, B, F = x.shape
     Fout = W.shape[1]
+    bwd_env = os.environ.get("P2M_BWD_FUSED", "1")
+    if bwd_env not in ("0", "1"):
+        raise ValueError(f"P2M_BWD_FUSED={bwd_env!r}: expected 0|1")
+    if bwd_env == "1":
+        # fully fused backward kernel: hops + dx + in-kernel dW/db
+        # accumulation in one pass (see _bwd_kernel_factory); P2M_BWD_FUSED=0
+        # selects the XLA formulation below for A/B
+        gx, dW_full, db = _fused_bwd_call(band_val, g, x, W, T)
+        return (jnp.zeros_like(band_val), gx, dW_full.astype(W.dtype),
+                db.astype(W.dtype))
     Wb = W.astype(x.dtype)
     W0, W1, W2 = Wb[:F], Wb[F:2 * F], Wb[2 * F:]
 
