@@ -342,3 +342,28 @@ def test_flat_strip_output_packing(fo, gr):
     assert y.shape == (Vp, B * fo)
     np.testing.assert_allclose(np.asarray(y[:V].reshape(V, B, fo)),
                                np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_backward_impls_agree(band_op, monkeypatch):
+    """The two _fused backward implementations — the fully fused kernel
+    (P2M_BWD_FUSED=1, default: in-kernel hops + dx + dW/db accumulation)
+    and the XLA grouped-hop formulation (=0) — must produce matching
+    gradients (both are exact algebra; only the schedule differs)."""
+    V = band_op.num_vertices
+    F, Fout = 8, 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    Wb = jnp.asarray(rng.standard_normal((3 * F, Fout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32) * 0.1)
+
+    def loss(x, Wb, b):
+        return (fused_cheby_project(band_op, x, Wb, b) ** 2).sum()
+
+    grads = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("P2M_BWD_FUSED", flag)
+        jax.clear_caches()  # env is read at trace time
+        grads[flag] = jax.grad(loss, argnums=(0, 1, 2))(x, Wb, b)
+    for a, bb in zip(grads["1"], grads["0"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-3)
