@@ -47,7 +47,7 @@ def main():
     rows = []
     # (level index into mesh_ops, fin, fout): the two dominant convs plus a
     # mid-size control
-    cases = [(0, 128, 128), (1, 128, 128), (2, 256, 128)]
+    cases = [(0, 128, 128), (1, 128, 128), (2, 256, 128), (3, 256, 256)]
     for li, fin, fout in cases:
         op = art.mesh_ops[li]
         beff, fl = 64, -(-fin // 128) * 128

@@ -563,8 +563,9 @@ def _pick_m(nt: int, require_divisor: bool = False, k: int = 1) -> int:
     V=6890 128->128 1378 vs 1669 us, V=1849 commuted 773 vs 853; levels
     whose tile count m does not divide fall back to 4 automatically)."""
     m_target = int(os.environ.get("P2M_FUSED_M", "8"))
+    min_ratio = int(os.environ.get("P2M_FUSED_MIN_NT_RATIO", "1"))
     for cand in (m_target, m_target // 2, m_target // 4, 2):
-        if cand >= 2 and nt % cand == 0 and nt >= 2 * cand:
+        if cand >= 2 and nt % cand == 0 and nt >= min_ratio * cand:
             return cand
     if not require_divisor:
         for cand in (m_target, m_target // 2, 2):
