@@ -84,11 +84,61 @@ def main(batch=64):
                         + 0.1 * normal_vector_loss(q, t, f)
                         + 20.0 * edge_length_loss(q, t, f))(p)
 
+    # sorted-scatter variant: per corner, pre-sort the face list by vertex
+    # index so the backward scatter-add runs with indices_are_sorted=True
+    orders = [np.argsort(np.asarray(faces_np[:, c])) for c in range(3)]
+    sorted_idx = [jnp.asarray(faces_np[o, c]) for c, o in enumerate(orders)]
+    orders_j = [jnp.asarray(o) for o in orders]
+
+    import functools as _ft
+
+    @_ft.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def take_sorted(p, fidx, sidx, c):
+        return jnp.take(p, fidx, axis=1)
+
+    def _ts_fwd(p, fidx, sidx, c):
+        return jnp.take(p, fidx, axis=1), (sidx, p.shape)
+
+    def _ts_bwd(c, res, g):
+        sidx, pshape = res
+        gs = jnp.take(g, orders_j[c], axis=1)
+        dp = jnp.zeros(pshape, g.dtype).at[:, sidx].add(
+            gs, indices_are_sorted=True, unique_indices=False)
+        return dp, None, None
+
+    take_sorted.defvjp(_ts_fwd, _ts_bwd)
+
+    def _mini_loss(gather3):
+        # a representative slice of the real losses' structure: normalized
+        # edge dirs + edge-length; isolates gather/scatter cost apples-to-
+        # apples between the two gather implementations
+        def loss(q):
+            p = gather3(q)
+            v1o = p[1] - p[0]
+            v2o = p[2] - p[0]
+            n1 = v1o * jax.lax.rsqrt(
+                (v1o * v1o).sum(-1, keepdims=True) + 1e-12)
+            e = jnp.sqrt((v2o * v2o).sum(-1) + 1e-12)
+            return jnp.abs(n1).mean() + e.mean()
+        return loss
+
+    def g_mini_plain(p, t, f):
+        loss = _mini_loss(lambda q: [q[:, f[:, c]] for c in range(3)])
+        return jax.grad(lambda q: coord_l1(q, t) + loss(q))(p)
+
+    def g_mini_sorted(p, t, f):
+        loss = _mini_loss(
+            lambda q: [take_sorted(q, f[:, c], sorted_idx[c], c)
+                       for c in range(3)])
+        return jax.grad(lambda q: coord_l1(q, t) + loss(q))(p)
+
     out = {}
     for name, fn, args in (
         ("vertex", g_vertex, (gt,)),
         ("faces_inv", g_faces_inv, (gt, faces, inv)),
         ("faces_scatter", g_faces_scatter, (gt, faces)),
+        ("mini_plain", g_mini_plain, (gt, faces)),
+        ("mini_sorted", g_mini_sorted, (gt, faces)),
     ):
         ms = _measure(fn, pred, *args) * 1e3
         out[name] = round(ms, 3)
@@ -97,6 +147,8 @@ def main(batch=64):
     out["faces_inv_delta_ms"] = round(out["faces_inv"] - out["vertex"], 3)
     out["faces_scatter_delta_ms"] = round(
         out["faces_scatter"] - out["vertex"], 3)
+    out["sorted_vs_plain_ms"] = round(
+        out["mini_sorted"] - out["mini_plain"], 3)
     print(json.dumps(out))
 
 
