@@ -274,14 +274,23 @@ def main():
           f"(active-layout band-conv bound {ideal_band*1e3:.2f} ms; "
           f"gap covers dense levels, gathers, PoseNet, fc)", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "meshes_per_sec_per_chip",
         "value": round(meshes_per_sec, 1),
         "unit": "meshes/s",
         "vs_baseline": round(meshes_per_sec / TARGET_MESHES_PER_SEC, 3),
         "forward_ms_batch64": round(per_iter * 1e3, 3),
         "rooflines": roof_rows,
-    }))
+    }
+    if os.environ.get("P2M_BENCH_B128", "1") == "1":
+        # serving sweet spot: batch 128 amortizes the PoseNet/fixed costs
+        # (+~6% measured round 4; batch 256 regresses — VMEM chunking)
+        m2, a2, v2, p2 = build(128)
+        per2 = measure_forward(m2, a2, v2, p2)
+        out["batch128_meshes_per_sec"] = round(128 / per2, 1)
+        print(f"# batch128 forward {per2*1e3:.2f} ms "
+              f"({128/per2:.0f} meshes/s)", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
