@@ -367,3 +367,36 @@ def test_fused_backward_impls_agree(band_op, monkeypatch):
     for a, bb in zip(grads["1"], grads["0"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fused_backward_asymmetric_channels(band_op):
+    """The fused backward kernel at production-like ASYMMETRIC channel
+    widths (Fin != Fout after lane padding — e.g. the SMPL schedule's
+    128->256 and 256->128 convs hit (F, Fout) = (128, 256)/(256, 128) in
+    the kernel).  Gradient parity vs the XLA chebyshev_stack reference."""
+    V = band_op.num_vertices
+    rng = np.random.default_rng(11)
+    for F, Fout in ((128, 256), (256, 128)):
+        x = jnp.asarray(rng.standard_normal((V, 1, F)).astype(np.float32) * 0.1)
+        Wb = jnp.asarray(
+            rng.standard_normal((3 * F, Fout)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32) * 0.1)
+        Wc = Wb.reshape(3, F, Fout).transpose(1, 0, 2).reshape(F * 3, Fout)
+
+        def f_fused(x, Wb, b):
+            return (fused_cheby_project(band_op, x, Wb, b) ** 2).sum()
+
+        def f_ref(x, Wc, b):
+            return ((chebyshev_stack(band_op, x, 3) @ Wc + b) ** 2).sum()
+
+        gx_f, gW_f, gb_f = jax.grad(f_fused, argnums=(0, 1, 2))(x, Wb, b)
+        gx_r, gW_r, gb_r = jax.grad(f_ref, argnums=(0, 1, 2))(x, Wc, b)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-2)
+        gW_r_basis = np.asarray(gW_r).reshape(F, 3, Fout).transpose(
+            1, 0, 2).reshape(3 * F, Fout)
+        np.testing.assert_allclose(np.asarray(gW_f), gW_r_basis,
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                                   rtol=1e-3, atol=1e-2)
