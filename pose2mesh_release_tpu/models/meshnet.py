@@ -67,6 +67,45 @@ def channel_interp_matrix(fin: int, fout: int) -> np.ndarray:
     return M
 
 
+class _BNFoldStats(nn.Module):
+    """BatchNorm reduced to its AFFINE: computes batch (or running) stats
+    of y and returns the per-channel (scale, shift) such that
+    bn(y) = y*scale + shift — the normalize itself is folded into the NEXT
+    conv's in-kernel input read (ops.pallas_cheby.fused_cheby_project_folded),
+    so the activated tensor never exists in HBM.  Parameter and batch-stats
+    layout matches nn.BatchNorm (pass name="BatchNorm_0"): checkpoints are
+    interchangeable with the unfolded path, and the gamma/beta/batch-stat
+    gradients flow through scale/shift's cotangents."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray):
+        F = y.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (F,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (F,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((F,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((F,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            yf = y.astype(jnp.float32)
+            n = y.shape[0] * y.shape[1]
+            mean = yf.sum(axis=(0, 1)) / n
+            var = (yf * yf).sum(axis=(0, 1)) / n - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value \
+                    + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value \
+                    + (1.0 - self.momentum) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * gamma
+        return inv, beta - mean * inv
+
+
 class _MaskedBatchNorm(nn.Module):
     """BatchNorm over (V, B) rows of a ROW-PADDED (Vp, B, F) tensor whose
     pad rows are zero: statistics divide by the REAL row count, reproducing
@@ -157,9 +196,11 @@ class ChebConv(nn.Module):
     @nn.compact
     def __call__(self, op: LevelOperator, x: jnp.ndarray, train: bool,
                  *, skip: jnp.ndarray | None = None,
-                 skip_w: jnp.ndarray | None = None, out_3d: bool = False):
+                 skip_w: jnp.ndarray | None = None, out_3d: bool = False,
+                 fold_in=None, emit_fold: bool = False):
         from ..ops.pallas_cheby import (
-            fused_cheby_project, fused_cheby_project_relu,
+            fused_cheby_project, fused_cheby_project_folded,
+            fused_cheby_project_relu,
             fused_conv_flat_dispatch as fused_conv_flat, pallas_supported,
         )
 
@@ -215,6 +256,15 @@ class ChebConv(nn.Module):
                             (fin * self.K, self.fout), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
 
+        fold_pallas = (fold_in is not None and self.use_pallas
+                       and self.K == 3 and pallas_supported(op, x))
+        if fold_in is not None and not fold_pallas:
+            # consumer can't fold in-kernel: apply the producer's BN affine
+            # + ReLU explicitly and proceed on the activated tensor
+            sc, sh = fold_in
+            x = nn.relu(x * sc.astype(self.dtype) + sh.astype(self.dtype))
+            fold_in = None
+
         folded = self.inference_fused and self.use_bn and not train
         graph_sharded = (self.spmd_mesh is not None
                          and dict(self.spmd_mesh.shape).get("graph", 1) > 1)
@@ -244,8 +294,15 @@ class ChebConv(nn.Module):
             # fused kernel wants basis-major rows: [W_x; W_Lx; W_cheb2]
             w_basis = kernel.reshape(fin, self.K, self.fout)
             w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
-            conv = fused_cheby_project_relu if folded and self.use_relu                 else fused_cheby_project
-            y = conv(op, x, w_basis.astype(self.dtype), bias.astype(self.dtype))
+            if fold_pallas:
+                # previous conv's BN-apply + ReLU folded into this conv's
+                # in-kernel input read (P2M_FOLD_BN training path)
+                y = fused_cheby_project_folded(
+                    op, x, w_basis.astype(self.dtype),
+                    bias.astype(self.dtype), fold_in[0], fold_in[1])
+            else:
+                conv = fused_cheby_project_relu if folded and self.use_relu                     else fused_cheby_project
+                y = conv(op, x, w_basis.astype(self.dtype), bias.astype(self.dtype))
             if folded:
                 return y
         else:
@@ -263,6 +320,13 @@ class ChebConv(nn.Module):
             mask = (jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1, 1), 0)
                     < op.num_vertices)
             y = jnp.where(mask, y, jnp.zeros_like(y))
+        if self.use_bn and emit_fold and not row_padded:
+            # hand the BN affine to the NEXT conv instead of materializing
+            # the activated tensor (caller pairs this with fold_in)
+            sc, sh = _BNFoldStats(use_running_average=not train,
+                                  momentum=0.9, epsilon=1e-5,
+                                  name="BatchNorm_0")(y)
+            return y, (sc, sh)
         if self.use_bn:
             # torch BatchNorm1d over B*V rows == flax BN reducing all
             # non-feature axes (momentum 0.9 == torch momentum 0.1);
@@ -382,6 +446,16 @@ class MeshNet(nn.Module):
             input_x = x
             has_skip = 0 < i < n_blocks - 1
             pack_g = 1  # current lane-packing factor of x (flat path)
+            # P2M_FOLD_BN=1: within a block, each conv's BN-apply + ReLU is
+            # folded into the NEXT conv's in-kernel input read (training
+            # path); block-boundary outputs (consumed by skips/upsamples)
+            # still materialize normally
+            import os as _os
+            bn_fold = (_os.environ.get("P2M_FOLD_BN", "0") == "1"
+                       and not block_flat and not graph_sharded
+                       and self.use_pallas and self.K == 3
+                       and op.kind == "band" and 1 <= op.band_k <= 2)
+            fold_state = None
             for li in range(len(chans) - 1):
                 last_conv = i == n_blocks - 1 and li == len(chans) - 2
                 block_last = li == len(chans) - 2
@@ -419,16 +493,22 @@ class MeshNet(nn.Module):
                     from ..ops.pallas_cheby import flat_out_pack
                     out_pack = flat_out_pack(op, B, x.shape[1] // B,
                                              chans[li + 1])
-                x = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
-                             use_pallas=self.use_pallas,
-                             use_bn=not last_conv, use_relu=not last_conv,
-                             inference_fused=self.inference_fused,
-                             flat_batch=B if block_flat else 0,
-                             fin=chans[li] if block_flat else 0,
-                             lane_pack=pack_g, out_pack=out_pack,
-                             spmd_mesh=self.spmd_mesh)(
+                emit = bn_fold and not block_last and not last_conv
+                out = ChebConv(chans[li + 1], self.K, dtype=self.dtype,
+                               use_pallas=self.use_pallas,
+                               use_bn=not last_conv, use_relu=not last_conv,
+                               inference_fused=self.inference_fused,
+                               flat_batch=B if block_flat else 0,
+                               fin=chans[li] if block_flat else 0,
+                               lane_pack=pack_g, out_pack=out_pack,
+                               spmd_mesh=self.spmd_mesh)(
                     op, x, train, skip=skip, skip_w=skip_w,
-                    out_3d=last_conv and block_flat)
+                    out_3d=last_conv and block_flat,
+                    fold_in=fold_state, emit_fold=emit)
+                if emit:
+                    x, fold_state = out
+                else:
+                    x, fold_state = out, None
                 if out_pack > 1:
                     pack_g = out_pack
             if block_flat and i == n_blocks - 1:

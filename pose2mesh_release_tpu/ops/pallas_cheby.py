@@ -455,7 +455,7 @@ def fused_conv_flat_commuted(op: LevelOperator, x2: jax.Array, batch: int,
 
 def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
                           skip_mode=None, Fs=0, out_3d=False,
-                          keep_basis=False):
+                          keep_basis=False, in_fold=False):
     """m output row-tiles per program, block-bandwidth k.  Window layout per
     program (grid index t): x refs cover tiles t*m + [-2k .. m-1+2k]
     (m+4k refs), band refs cover rows t*m + [-k .. m-1+k] (m+2k refs).
@@ -487,6 +487,13 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
         x_refs = refs[n_band:n_band + n_x]
         rest = list(refs[n_band + n_x:])
         skip_refs = [rest.pop(0) for _ in range(m)] if skip_mode else []
+        fold_refs = ()
+        if in_fold:
+            # BN-fold: this conv consumes relu(x*scale + shift) computed on
+            # the LOADED tiles (VPU) — the activated tensor of the previous
+            # conv never exists in HBM (train-path analogue of the deploy
+            # BN fold)
+            fold_refs = (rest.pop(0), rest.pop(0))  # scale, shift (1, BC*F)
         w_ref, bias_ref = rest[0], rest[1]
         skip_w_ref = rest[2] if skip_mode == "proj" else None
         if keep_basis:
@@ -495,7 +502,15 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
             out_ref, z1_out_ref, z2_out_ref, z1_ref = rest[-4:]
         else:
             out_ref, z1_ref = rest[-2], rest[-1]
-        xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
+        if in_fold:
+            # f32 VPU transform: Mosaic's vector compare/relu path wants
+            # f32 (bf16 cmpf is unsupported on this target)
+            sv = fold_refs[0][0][None, :].astype(jnp.float32)
+            cv = fold_refs[1][0][None, :].astype(jnp.float32)
+            xs = [jnp.maximum(r[:].astype(jnp.float32) * sv + cv, 0.0)
+                  .astype(out_ref.dtype) for r in x_refs]
+        else:
+            xs = [r[:] for r in x_refs]   # xs[i] = tile t*m + i - 2k
         dt = out_ref.dtype
 
         # z1 for tiles t*m + a, a in [-k .. m-1+k], stored to scratch rows
@@ -677,7 +692,7 @@ def fused_conv_flat(op: LevelOperator, x2: jax.Array, batch: int,
     )(*operands)
 
 
-def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
+def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg, in_fold=False):
     """Fully fused conv backward: per program, the cotangent's Chebyshev
     basis (g1 = Lg, h2 = 2L(Lg) - g — the forward recurrence applied to g)
     feeds BOTH the input gradient (dx = g Wt0 + g1 Wt1 + h2 Wt2, Wt = W^T
@@ -693,8 +708,16 @@ def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
         band_refs = refs[:n_band]
         g_refs = refs[n_band:n_band + n_x]
         x_refs = refs[n_band + n_x:n_band + n_x + m]
-        wt_ref = refs[n_band + n_x + m]
-        dx_ref, dw_ref, db_ref, g1_ref, dw_acc, db_acc = refs[-6:]
+        pos = n_band + n_x + m
+        if in_fold:
+            s_ref, c_ref = refs[pos], refs[pos + 1]
+            pos += 2
+        wt_ref = refs[pos]
+        if in_fold:
+            (dx_ref, dw_ref, db_ref, ds_ref, dc_ref,
+             g1_ref, dw_acc, db_acc, ds_acc, dc_acc) = refs[-10:]
+        else:
+            dx_ref, dw_ref, db_ref, g1_ref, dw_acc, db_acc = refs[-6:]
         dt = dx_ref.dtype
         gs = [r[:] for r in g_refs]
 
@@ -704,6 +727,9 @@ def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
         def _():
             dw_acc[:] = jnp.zeros_like(dw_acc)
             db_acc[:] = jnp.zeros_like(db_acc)
+            if in_fold:
+                ds_acc[:] = jnp.zeros_like(ds_acc)
+                dc_acc[:] = jnp.zeros_like(dc_acc)
 
         g1 = []
         for a in range(-k, m + k):
@@ -720,6 +746,10 @@ def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
         def _rows(z, f):
             return z.reshape(T, BC, f).reshape(T * BC, f)
 
+        if in_fold:
+            sv = s_ref[0][None, :].astype(jnp.float32)
+            cv = c_ref[0][None, :].astype(jnp.float32)
+
         for j in range(m):
             br = band_refs[j + k]
             acc2 = jnp.dot(br[0], g1_ref[j * T:(j + nbd) * T, :],
@@ -731,10 +761,27 @@ def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
             # dx_j = [g, g1, h2] @ [W0^T; W1^T; W2^T] — one K=3*Fout matmul
             gb = jnp.concatenate([gr, g1r, h2r], axis=1)
             acc = jnp.dot(gb, wt_ref[:], preferred_element_type=jnp.float32)
-            dx_ref[j * T:(j + 1) * T, :] = (
-                acc.astype(dt).reshape(T, BC, F).reshape(T, BC * F))
-            # dW accumulation: x^T @ [g, g1, h2] -> (F, 3*Fout) f32
-            xr = _rows(x_refs[j][:], F)
+            x_raw = x_refs[j][:]
+            if in_fold:
+                # conv input was u = relu(x*s + c): dW uses u, and the
+                # input cotangent chains dt = du * 1[t>0], dx = dt * s,
+                # with the BN-affine grads accumulated per channel
+                t_pre = x_raw.astype(jnp.float32) * sv + cv
+                mask = (t_pre > 0.0).astype(jnp.float32)
+                u = jnp.maximum(t_pre, 0.0).astype(dt)
+                xr = _rows(u, F)
+                du = acc.reshape(T, BC * F)             # d wrt u, f32
+                dtv = du * mask
+                dx_ref[j * T:(j + 1) * T, :] = (dtv * sv.astype(
+                    jnp.float32)).astype(dt)
+                ds_acc[0, :] += (dtv * x_raw.astype(jnp.float32)).reshape(
+                    T * BC, F).sum(axis=0)
+                dc_acc[0, :] += dtv.reshape(T * BC, F).sum(axis=0)
+            else:
+                xr = _rows(x_raw, F)
+                dx_ref[j * T:(j + 1) * T, :] = (
+                    acc.astype(dt).reshape(T, BC, F).reshape(T, BC * F))
+            # dW accumulation: u^T @ [g, g1, h2] -> (F, 3*Fout) f32
             dw_acc[:, :] += jnp.dot(xr.T, gb,
                                     preferred_element_type=jnp.float32)
             db_acc[0, :] += gr.astype(jnp.float32).sum(axis=0)
@@ -743,11 +790,14 @@ def _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg):
         def _():
             dw_ref[:] = dw_acc[:]
             db_ref[:] = db_acc[:]
+            if in_fold:
+                ds_ref[:] = ds_acc[:]
+                dc_ref[:] = dc_acc[:]
 
     return kernel
 
 
-def _fused_bwd_call(band_val, g, x, W, T):
+def _fused_bwd_call(band_val, g, x, W, T, in_fold=None):
     """Fused backward launch: returns (gx (V,B,F), dW (3F,Fout) f32-cast,
     db (Fout,)).  g (V,B,Fout) cotangent, x (V,B,F) saved input, W the
     canonical basis-major (3F, Fout) weight."""
@@ -800,44 +850,67 @@ def _fused_bwd_call(band_val, g, x, W, T):
     operands += [g2] * (m + 4 * k)
     in_specs += [xspec(j) for j in range(m)]
     operands += [x2] * m
+    if in_fold is not None:
+        sc, sh = in_fold
+        vecspec = pl.BlockSpec((1, BC * F), lambda c, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [vecspec, vecspec]
+        operands += [jnp.tile(sc, BC).reshape(1, -1).astype(x.dtype),
+                     jnp.tile(sh, BC).reshape(1, -1).astype(x.dtype)]
     in_specs.append(pl.BlockSpec((3 * Fout, F), lambda c, t: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(Wt)
 
-    dx, dW_cf, db2 = pl.pallas_call(
-        _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg),
+    vec_out_spec = pl.BlockSpec((1, F), lambda c, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((m * T, BC * F), lambda c, t: (t, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, 3 * Fout), lambda c, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Vp, B * F), x.dtype),
+        jax.ShapeDtypeStruct((F, 3 * Fout), jnp.float32),
+        jax.ShapeDtypeStruct((1, Fout), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM(((m + 2 * k) * T, BC * Fout), x.dtype),
+        pltpu.VMEM((F, 3 * Fout), jnp.float32),
+        pltpu.VMEM((1, Fout), jnp.float32),
+    ]
+    if in_fold is not None:
+        out_specs += [vec_out_spec, vec_out_spec]
+        out_shape += [jax.ShapeDtypeStruct((1, F), jnp.float32)] * 2
+        scratch += [pltpu.VMEM((1, F), jnp.float32)] * 2
+
+    outs = pl.pallas_call(
+        _bwd_kernel_factory(T, BC, Fout, F, m, k, ncc, ntg,
+                            in_fold=in_fold is not None),
         grid=(ncc, ntg),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((m * T, BC * F), lambda c, t: (t, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, 3 * Fout), lambda c, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B * F), x.dtype),
-            jax.ShapeDtypeStruct((F, 3 * Fout), jnp.float32),
-            jax.ShapeDtypeStruct((1, Fout), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(((m + 2 * k) * T, BC * Fout), x.dtype),
-            pltpu.VMEM((F, 3 * Fout), jnp.float32),
-            pltpu.VMEM((1, Fout), jnp.float32),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(*operands)
+    dx, dW_cf, db2 = outs[:3]
     gx = dx[:V].reshape(V, B, F)
     dW_full = dW_cf.reshape(F, 3, Fout).transpose(1, 0, 2).reshape(
         3 * F, Fout)
+    if in_fold is not None:
+        ds2, dc2 = outs[3:]
+        return gx, dW_full, db2[0], ds2[0], dc2[0]
     return gx, dW_full, db2[0]
 
 
-def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False):
+def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
+                in_fold=None):
     nbd, nt = band_val.shape[0], band_val.shape[1]
     k = nbd // 2
     V, B, F = x.shape
@@ -888,11 +961,20 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False):
         basis_shape = jax.ShapeDtypeStruct((Vp, B * F), x.dtype)
         out_specs = (out_specs, basis_spec, basis_spec)
         out_shape = (out_shape, basis_shape, basis_shape)
+    fold_specs, fold_ops = [], []
+    if in_fold is not None:
+        sc, sh = in_fold
+        vecspec = pl.BlockSpec((1, BC * F), lambda c, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+        fold_specs = [vecspec, vecspec]
+        fold_ops = [jnp.tile(sc, BC).reshape(1, -1).astype(x.dtype),
+                    jnp.tile(sh, BC).reshape(1, -1).astype(x.dtype)]
     out = pl.pallas_call(
         _fused_kernel_factory(T, BC, F, Fout, m, k, relu,
-                              keep_basis=keep_basis),
+                              keep_basis=keep_basis,
+                              in_fold=in_fold is not None),
         grid=(ncc, nt_pad // m),
-        in_specs=band_specs + x_specs + [
+        in_specs=band_specs + x_specs + fold_specs + [
             pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
@@ -905,7 +987,7 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(*([band_in] * (m + 2 * k) + [x2] * (m + 4 * k)
+    )(*([band_in] * (m + 2 * k) + [x2] * (m + 4 * k) + fold_ops
         + [W.astype(x.dtype), b.reshape(1, -1).astype(x.dtype)]))
     if keep_basis:
         y, z1, z2 = out
@@ -1010,6 +1092,59 @@ def _fused_bwd(T, res, g):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_fold(T, band_val, x, W, b, scale, shift):
+    """Conv with the PREVIOUS conv's BatchNorm-apply + ReLU folded into the
+    input read: computes conv(relu(x*scale + shift)) without ever
+    materializing the activated tensor (the training analogue of the
+    deploy-time BN fold).  scale/shift are per-channel vectors; their
+    cotangents (and thus the BN gamma/beta/batch-stat gradients, via the
+    XLA ops that produced them) flow through this VJP."""
+    return _fused_call(band_val, x, W, b, T, in_fold=(scale, shift))
+
+
+def _fused_fold_fwd(T, band_val, x, W, b, scale, shift):
+    y = _fused_call(band_val, x, W, b, T, in_fold=(scale, shift))
+    return y, (band_val, x, W, scale, shift)
+
+
+def _fused_fold_bwd(T, res, g):
+    band_val, x, W, scale, shift = res
+    gx, dW_full, db, ds, dc = _fused_bwd_call(
+        band_val, g, x, W, T, in_fold=(scale.astype(x.dtype),
+                                       shift.astype(x.dtype)))
+    return (jnp.zeros_like(band_val), gx, dW_full.astype(W.dtype),
+            db.astype(W.dtype), ds.astype(scale.dtype),
+            dc.astype(shift.dtype))
+
+
+_fused_fold.defvjp(_fused_fold_fwd, _fused_fold_bwd)
+
+
+def fused_cheby_project_folded(op: LevelOperator, x_raw: jax.Array,
+                               W: jax.Array, b: jax.Array,
+                               scale: jax.Array, shift: jax.Array) -> jax.Array:
+    """Training-path conv consuming the RAW previous-conv output plus the
+    BN affine (scale, shift): y = cheby_conv(relu(x_raw*scale + shift)).
+    Caller guarantees pallas support and 128-aligned channels (the MeshNet
+    fold path checks)."""
+    F = x_raw.shape[-1]
+    Fout = W.shape[1]
+    Fp, Fop = _pad128(F), _pad128(Fout)
+    if Fp != F or Fop != Fout:
+        xp = jnp.pad(x_raw, ((0, 0), (0, 0), (0, Fp - F))) if Fp != F else x_raw
+        Wp = W.reshape(3, F, Fout)
+        Wp = jnp.pad(Wp, ((0, 0), (0, Fp - F), (0, Fop - Fout)))
+        bp = jnp.pad(b, (0, Fop - Fout))
+        # pad scale with ZEROS so pad lanes stay zero through the transform
+        sp = jnp.pad(scale, (0, Fp - F))
+        cp = jnp.pad(shift, (0, Fp - F))
+        y = _fused_fold(op.block_size, op.band_val, xp,
+                        Wp.reshape(3 * Fp, Fop), bp, sp, cp)
+        return y[..., :Fout]
+    return _fused_fold(op.block_size, op.band_val, x_raw, W, b, scale, shift)
 
 
 def _fused_enabled() -> bool:

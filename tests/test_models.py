@@ -238,3 +238,57 @@ def test_deploy_lane_packing_matches_plain():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fus_pose), np.asarray(ref_pose),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bn_fold_training_path_matches(monkeypatch):
+    """P2M_FOLD_BN=1 (BN-apply+ReLU folded into the next conv's in-kernel
+    input read) must reproduce the default path: same forward, same
+    gradients, same running-stat updates, same variable tree."""
+    import jax
+
+    from pose2mesh_release_tpu.body.synthetic import uv_sphere
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=7,
+                        skeleton=[(0, 1), (1, 2), (2, 3)], levels=4)
+    art = pack_pyramid(pyr, faces, dense_threshold=300)
+    blocks = ((5, 8, 8), (8, 16), (16, 16, 16), (16, 16), (16, 8, 3))
+    model = Pose2Mesh(num_joint=7, posenet_hidden=32, blocks=blocks)
+    rng = np.random.default_rng(0)
+    pose2d = jnp.asarray(rng.standard_normal((2, 7, 2)), jnp.float32)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("P2M_FOLD_BN", flag)
+        jax.clear_caches()
+        variables = model.init(jax.random.PRNGKey(0), art, pose2d, False)
+
+        def loss(params):
+            (mesh, pose3d), mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                art, pose2d, True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return (mesh.astype(jnp.float32) ** 2).sum() * 1e-3 \
+                + (pose3d ** 2).sum() * 1e-9, mut["batch_stats"]
+
+        (val, new_bs), grads = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"])
+        outs[flag] = (val, grads, new_bs,
+                      jax.tree.structure(variables["params"]))
+
+    # identical variable trees (checkpoint compatibility)
+    assert outs["0"][3] == outs["1"][3]
+    np.testing.assert_allclose(float(outs["0"][0]), float(outs["1"][0]),
+                               rtol=5e-3)
+    for a, b in zip(jax.tree.leaves(outs["0"][1]),
+                    jax.tree.leaves(outs["1"][1])):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-3)
+    for a, b in zip(jax.tree.leaves(outs["0"][2]),
+                    jax.tree.leaves(outs["1"][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)

@@ -400,3 +400,37 @@ def test_fused_backward_asymmetric_channels(band_op):
                                    rtol=1e-3, atol=1e-2)
         np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
                                    rtol=1e-3, atol=1e-2)
+
+
+def test_fused_fold_matches_unfused(band_op):
+    """fused_cheby_project_folded(x_raw, W, b, s, c) ==
+    fused_cheby_project(relu(x_raw*s + c), W, b) in value AND in gradients
+    wrt every input (the BN-fold training path, round 4)."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import (
+        fused_cheby_project_folded,
+    )
+
+    V = band_op.num_vertices
+    F, Fout = 8, 8
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    Wb = jnp.asarray(rng.standard_normal((3 * F, Fout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.standard_normal((F,)).astype(np.float32) * 0.5 + 1.0)
+    c = jnp.asarray(rng.standard_normal((F,)).astype(np.float32) * 0.1)
+
+    def f_fold(x, Wb, b, s, c):
+        return (fused_cheby_project_folded(band_op, x, Wb, b, s, c) ** 2).sum()
+
+    def f_ref(x, Wb, b, s, c):
+        u = jnp.maximum(x * s + c, 0.0)
+        return (fused_cheby_project(band_op, u, Wb, b) ** 2).sum()
+
+    vf = f_fold(x, Wb, b, s, c)
+    vr = f_ref(x, Wb, b, s, c)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+    gf = jax.grad(f_fold, argnums=(0, 1, 2, 3, 4))(x, Wb, b, s, c)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, Wb, b, s, c)
+    for a, bb in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-3)
