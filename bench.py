@@ -174,7 +174,7 @@ def _roofline_report(art, batch_size, measure=False):
     # per-conv measurement stops once the budget is spent so the whole
     # bench stays inside the driver's timeout; unmeasured rows keep their
     # bounds (the full measured table is committed in BENCH_NOTES_r3.md)
-    budget_s = float(os.environ.get("P2M_BENCH_BUDGET_S", "240"))
+    budget_s = float(os.environ.get("P2M_BENCH_BUDGET_S", "180"))
     t_meas0 = time.time()
     print("# dual roofline per band conv (us; strip/band at measured "
           "sustained MXU rates, sparse = nnz-minimal honest floor):",
