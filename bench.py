@@ -187,11 +187,12 @@ def _roofline_report(art, batch_size, measure=False):
     for op, i, fin, fout, beff, fl, fo in _band_conv_shapes(art, batch_size):
         r_strip = (strip_conv_roofline(op, beff, fl, fo)
                    if op.strip_h else None)
-        # mirror the deploy dispatch's m (ops.pallas_cheby._pick_m: 8 when
-        # it divides the tile count, else 4)
-        nt_op = op.band_val.shape[1]
+        # the deploy dispatch's ACTUAL m (honors P2M_FUSED_M and the
+        # min-tile-ratio env overrides; falls back 8 -> 4 -> 2)
+        from pose2mesh_release_tpu.ops.pallas_cheby import _pick_m
         r_band = fused_conv_roofline(op, beff, fl, -(-fo // 128) * 128,
-                                     m=8 if nt_op % 8 == 0 else 4)
+                                     m=_pick_m(op.band_val.shape[1],
+                                               k=op.band_k))
         r_sparse = sparse_conv_roofline(op, batch_size, fin, fout)
         # the bound of the layout that actually RUNS (strip only under
         # P2M_FLAT_IMPL=strip); the strip column stays informational

@@ -1,0 +1,202 @@
+"""End-to-end training throughput WITH the host input pipeline in the loop
+(VERDICT r4 item #1).
+
+Every previously committed throughput number timed a jitted step on
+resident device tensors; this bench closes the last unmeasured link: a
+synthetic Human36M-format dataset at flagship scale (real 9-level pyramid,
+SMPL topology, SMPL_BLOCKS, bf16, batch 64) is fed through the REAL
+production path — `MeshDataset.get_batch` vectorized augmentation
+(data/pipeline.py, C++/OpenMP inner loops) -> `BatchLoader` threaded
+prefetch -> per-step `device_put` -> the jitted fused train step — and the
+wall-clock samples/s is measured against (a) the host pipeline alone and
+(b) the device step alone on resident tensors.
+
+Reference analogue: torch DataLoader(num_workers=16) feeding
+Trainer.run on GPU (lib/core/base.py:30-34,122-148).
+
+Writes one JSON line (committed as E2E_TRAIN_r5.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_p2m"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from pose2mesh_release_tpu.data.base import MeshDataset  # noqa: E402
+
+
+class SynthH36M(MeshDataset):
+    """Human36M-format synthetic dataset: random records with the real
+    field layout (joint_img px, joint_cam mm, cached GT mesh f16 mm), so
+    the whole host pipeline — bbox, affine, flip/rot augment, standardize,
+    f16 GT gather + 3-D augment — runs exactly as with real annotations."""
+
+    name = "SynthH36M"
+    input_joint_name = "human36"
+    target_joint_name = "human36"
+    has_gt_mesh = True
+
+    def __init__(self, n: int, mesh_model, seed: int = 0, **kw):
+        self._n = n
+        self._seed = seed
+        super().__init__("train", mesh_model=mesh_model, build_graph=True,
+                         seed=seed, **kw)
+
+    def load_data(self):
+        rng = np.random.default_rng(self._seed)
+        # pixel poses spread over a 1000x1000 image like H36M crops
+        base = rng.uniform(300, 700, size=(self._n, 1, 2))
+        jitter = rng.standard_normal((self._n, 17, 2)) * 80
+        joint_img = (base + jitter).astype(np.float32)
+        joint_cam = (rng.standard_normal((self._n, 17, 3)) * 200).astype(
+            np.float32)
+        return [{"joint_img": joint_img[i], "joint_cam": joint_cam[i]}
+                for i in range(self._n)]
+
+    def synthesize_gt(self):
+        rng = np.random.default_rng(self._seed + 1)
+        V = self.mesh_model.vertex_num
+        # f16 cache — the production Human36M loader's storage dtype
+        self.gt_mesh = (rng.standard_normal((self._n, V, 3)) * 100).astype(
+            np.float16)
+        self.gt_reg3d = (rng.standard_normal((self._n, 17, 3)) * 200).astype(
+            np.float32)
+        self.fit_error = np.zeros(self._n, np.float32)
+
+
+def main(n_samples: int = 12800, batch: int = 64):
+    from pose2mesh_release_tpu.body.smpl import SMPL
+    from pose2mesh_release_tpu.config import load_config
+    from pose2mesh_release_tpu.core.engine import Trainer
+    from pose2mesh_release_tpu.data import BatchLoader
+
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        smpl = SMPL()
+        ds = SynthH36M(n_samples, smpl)
+        cfg = load_config(overrides={
+            "TRAIN": {"batch_size": batch, "print_freq": 50,
+                      "edge_loss_start": 0},
+            "DATASET": {"input_joint_set": "human36", "workers": 2},
+            "output_dir": "/tmp/p2m_e2e_bench",
+        })
+        trainer = Trainer(cfg, datasets=[ds], test_dataset=None,
+                          mesh_model=smpl)
+    print(f"# setup {time.time()-t0:.1f}s  n={n_samples} batch={batch} "
+          f"fused_batch_path={ds.supports_batch()}", file=sys.stderr,
+          flush=True)
+
+    # --- (a) host pipeline alone: produce every batch, drop it ------------
+    t0 = time.time()
+    nb = 0
+    for b in trainer.loader:
+        nb += 1
+    host_s = time.time() - t0
+    host_rate = nb * batch / host_s
+    print(f"# host pipeline alone: {nb} batches in {host_s:.2f}s "
+          f"({host_rate:.0f} samples/s, {host_s/nb*1e3:.1f} ms/batch)",
+          file=sys.stderr, flush=True)
+
+    # --- warm up the train step (compile) on one real batch ----------------
+    inputs, targets, meta = next(iter(trainer.loader))
+    bd = {"pose2d": inputs["pose2d"], "mesh": targets["mesh"],
+          "lift_pose3d": targets["lift_pose3d"],
+          "reg_pose3d": targets["reg_pose3d"], **meta}
+    lr = jnp.float32(1e-3)
+    use_edge = jnp.float32(1.0)
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    bd_dev = trainer._put_batch(bd)
+    state, loss = trainer._train_step(trainer.state, trainer.art_dev, bd_dev,
+                                      lr, use_edge, rng)
+    print(f"# first step (compile) {time.time()-t0:.1f}s "
+          f"loss={float(loss['total']):.3f}", file=sys.stderr, flush=True)
+    trainer.state = state
+
+    # --- (b) device step alone on RESIDENT tensors (scan differencing; the
+    # relay makes per-dispatch timing unreliable, bench.py methodology) ----
+    import functools
+
+    from pose2mesh_release_tpu.core.train import make_train_step
+    step_fn = make_train_step(trainer.model, trainer.tx,
+                              jnp.asarray(ds.target_regressor()))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def chain(n, s, a, b_):
+        def body(c, _):
+            s2, _l = step_fn(c, a, b_, lr, use_edge, rng)
+            return s2, ()
+        s2, _ = jax.lax.scan(body, s, None, length=n)
+        return s2.step
+
+    small, large = 2, 12
+    int(chain(small, trainer.state, trainer.art_dev, bd_dev))
+    int(chain(large, trainer.state, trainer.art_dev, bd_dev))
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.time()
+        int(chain(small, trainer.state, trainer.art_dev, bd_dev))
+        ts.append(time.time() - t0)
+        t0 = time.time()
+        int(chain(large, trainer.state, trainer.art_dev, bd_dev))
+        tl.append(time.time() - t0)
+    dev_ms = max(min(tl) - min(ts), 1e-9) / (large - small) * 1e3
+    dev_rate = batch / dev_ms * 1e3
+    print(f"# device step alone (resident): {dev_ms:.1f} ms/batch "
+          f"({dev_rate:.0f} samples/s)", file=sys.stderr, flush=True)
+
+    # --- (c) END-TO-END: loader -> device_put -> step, one full epoch -----
+    def epoch(n_batches=None):
+        t0 = time.time()
+        n = 0
+        last = None
+        for inputs, targets, meta in trainer.loader:
+            b = {"pose2d": inputs["pose2d"], "mesh": targets["mesh"],
+                 "lift_pose3d": targets["lift_pose3d"],
+                 "reg_pose3d": targets["reg_pose3d"], **meta}
+            b = trainer._put_batch(b)
+            trainer.state, last = trainer._train_step(
+                trainer.state, trainer.art_dev, b, lr, use_edge, rng)
+            n += 1
+            if n_batches and n >= n_batches:
+                break
+        # one sync at the end: everything above dispatched async
+        float(last["total"])
+        return n, time.time() - t0
+
+    epoch(n_batches=5)  # warm the pipeline/queue
+    n, e2e_s = epoch()
+    e2e_rate = n * batch / e2e_s
+    e2e_ms = e2e_s / n * 1e3
+    print(f"# END-TO-END: {n} batches in {e2e_s:.2f}s "
+          f"({e2e_rate:.0f} samples/s, {e2e_ms:.1f} ms/batch)",
+          file=sys.stderr, flush=True)
+
+    out = {
+        "n_samples": n_samples, "batch": batch,
+        "fused_batch_path": bool(ds.supports_batch()),
+        "host_only_samples_per_s": round(host_rate, 1),
+        "host_only_ms_per_batch": round(host_s / nb * 1e3, 2),
+        "device_only_samples_per_s": round(dev_rate, 1),
+        "device_only_ms_per_batch": round(dev_ms, 2),
+        "e2e_samples_per_s": round(e2e_rate, 1),
+        "e2e_ms_per_batch": round(e2e_ms, 2),
+        "e2e_over_device_only": round(e2e_rate / dev_rate, 3),
+        "host_cores": os.cpu_count(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12800)

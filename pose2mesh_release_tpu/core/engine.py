@@ -181,10 +181,19 @@ class Trainer(_Base):
             donate_argnums=(0,),
         )
 
-        # init / resume
+        # init / resume — jitted, on the host CPU backend when available:
+        # un-jitted flax init dispatches thousands of eager ops, which on a
+        # remote/relayed TPU costs ~1 s each (verify skill notes); the
+        # state is moved to the accelerator once below (_put_state)
         sample = jnp.zeros((cfg.TRAIN.batch_size, self.joint_num, 2),
                            jnp.float32)
-        variables = self.model.init(self.rng, self.art, sample, False)
+        try:
+            init_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            init_dev = None
+        with jax.default_device(init_dev):
+            variables = jax.jit(self.model.init, static_argnums=(3,))(
+                self.rng, self.art, sample, False)
         if cfg.MODEL.posenet_pretrained and cfg.MODEL.posenet_path:
             variables = self._load_posenet(variables, cfg.MODEL.posenet_path)
         self.state = TrainState.create(variables, self.tx)

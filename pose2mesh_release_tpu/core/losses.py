@@ -24,12 +24,16 @@ __all__ = [
 def face_take(pred: jax.Array, fidx: jax.Array, inv: jax.Array) -> jax.Array:
     """pred[:, fidx] with a GATHER-based VJP.
 
-    The autodiff backward of a face gather is a scatter-add into (B, V, 3),
-    which XLA serializes on TPU (round-4 train profile: ~11 ms/step for the
-    normal+edge losses' nine face gathers).  `inv` is the per-corner ELL
-    inverse (graphs.artifact.face_inverse_tables): vertex v receives the
-    cotangent rows inv[v] (padded with len(fidx) -> a zero pad row), so the
-    backward is one gather + a K-way sum — no scatter anywhere.
+    MEASURED NEGATIVE (round 4, benchmarks/profile_losses.py +
+    BENCH_NOTES_r4.md §1.3): on v5e the plain autodiff scatter-add backward
+    costs 6.3 ms/step for the face losses vs 16.0 ms for this gather VJP —
+    XLA's sorted-face scatter beats the (B, V, K, 3) ELL row gathers.  The
+    default train step therefore does NOT pass `face_inv`
+    (core/train.py keeps the scatter path); this variant is retained only
+    for A/B measurement.  `inv` is the per-corner ELL inverse
+    (graphs.artifact.face_inverse_tables): vertex v receives the cotangent
+    rows inv[v] (padded with len(fidx) -> a zero pad row), so the backward
+    is one gather + a K-way sum — no scatter anywhere.
     """
     return jnp.take(pred, fidx, axis=1)
 

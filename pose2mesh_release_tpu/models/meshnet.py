@@ -96,7 +96,10 @@ class _BNFoldStats(nn.Module):
             yf = y.astype(jnp.float32)
             n = y.shape[0] * y.shape[1]
             mean = yf.sum(axis=(0, 1)) / n
-            var = (yf * yf).sum(axis=(0, 1)) / n - mean * mean
+            # E[y^2]-E[y]^2 can go (slightly) negative under f32
+            # cancellation; clamp like flax nn.BatchNorm does, else
+            # rsqrt(var+eps) NaNs on large-mean/small-var channels
+            var = jnp.maximum((yf * yf).sum(axis=(0, 1)) / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
                     + (1.0 - self.momentum) * mean
@@ -140,7 +143,8 @@ class _MaskedBatchNorm(nn.Module):
             n = self.real_rows * y.shape[1]
             yf = y.astype(jnp.float32)
             mean = yf.sum(axis=(0, 1)) / n          # pad rows are zero
-            var = (yf * yf).sum(axis=(0, 1)) / n - mean * mean
+            # clamp f32-cancellation negatives (matches flax BatchNorm)
+            var = jnp.maximum((yf * yf).sum(axis=(0, 1)) / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
                     + (1.0 - self.momentum) * mean
@@ -453,6 +457,7 @@ class MeshNet(nn.Module):
             import os as _os
             bn_fold = (_os.environ.get("P2M_FOLD_BN", "0") == "1"
                        and not block_flat and not graph_sharded
+                       and not (self.inference_fused and not train)
                        and self.use_pallas and self.K == 3
                        and op.kind == "band" and 1 <= op.band_k <= 2)
             fold_state = None

@@ -54,7 +54,8 @@ def all_gather_sizes(hlo_text: str) -> List[int]:
 
 def assert_no_large_all_gather(hlo_text: str, threshold_elems: int,
                                context: str = "",
-                               allow_re: str | None = None) -> None:
+                               allow_re: str | None = None,
+                               allow_max: int | None = None) -> None:
     """Fail if any all-gather result reaches `threshold_elems` elements.
 
     `threshold_elems` should be the smallest V-sharded band activation
@@ -65,14 +66,30 @@ def assert_no_large_all_gather(hlo_text: str, threshold_elems: int,
     allowed regardless of size — e.g. the level-boundary upsample remaps
     (`jit\\(_take\\)`), which shuffle the V axis by construction and occur
     exactly once per level transition, not per conv/hop.
+
+    allow_max: upper bound on how many >=threshold gathers the allow_re may
+    excuse.  jnp.take lowers MANY ops (face-loss gathers, extract_mesh,
+    vertex gathers), so an unbounded allowlist would silently pass a future
+    regression that all-gathers a band activation around any take-shaped
+    op; callers should pass the number of level-boundary transitions.
     """
     entries = all_gather_entries(hlo_text)
     allow = re.compile(allow_re) if allow_re else None
-    big = [(s, n) for s, n in entries
-           if s >= threshold_elems and not (allow and allow.search(n))]
+    big, allowed = [], []
+    for s, n in entries:
+        if s < threshold_elems:
+            continue
+        (allowed if (allow and allow.search(n)) else big).append((s, n))
     assert not big, (
         f"{context}: {len(big)} all-gather op(s) at "
         f"{sorted(big)[-3:]} >= band-activation threshold {threshold_elems}; "
         f"the V-sharded band path must use collective-permute halos, not "
         f"all-gather"
     )
+    if allow_max is not None:
+        assert len(allowed) <= allow_max, (
+            f"{context}: {len(allowed)} allowlisted (>= {threshold_elems} "
+            f"elem) all-gathers exceed the {allow_max} level-boundary "
+            f"transitions — a take-shaped op beyond the upsample remaps is "
+            f"gathering a sharded band activation: {sorted(allowed)[-5:]}"
+        )
