@@ -153,13 +153,80 @@ def bench_smpl_train(batch=64):
             "ms_per_step": round(dt * 1e3, 3), "batch": batch}
 
 
+def bench_mano_train(batch=64):
+    """One rmsprop step of the FreiHAND/MANO cascade (VERDICT r4 item #6).
+
+    Which kernels the MANO pyramid actually hits: the 6-level 778-vertex
+    pyramid packs ONE band level (V=778 -> 8 row-tiles at T=128, band_k=1)
+    — the rest are dense (<= the 768 threshold) — so the fused forward +
+    fully fused backward Pallas kernels run only on the finest level's
+    three convs and the m=8 single-program-group regime; everything
+    coarser is XLA dense matmuls.
+    Reference config: asset/yaml/pose2mesh_manoJ_train_freihand.yml."""
+    from pose2mesh_release_tpu.body.mano import MANO
+    from pose2mesh_release_tpu.core.optim import make_preconditioner
+    from pose2mesh_release_tpu.core.train import TrainState, make_train_step
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
+
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mano = MANO()
+        pyr = build_pyramid(mano.face, joint_num=mano.joint_num,
+                            skeleton=mano.skeleton, levels=6)
+        art = pack_pyramid(pyr, mano.face)
+        model = Pose2Mesh(num_joint=mano.joint_num, mano=True,
+                          dtype=jnp.bfloat16)
+        V, J = art.num_vertices, art.joint_num
+        batch_d = {
+            "pose2d": jnp.asarray(rng.standard_normal((batch, J, 2)),
+                                  jnp.float32),
+            "mesh": jnp.asarray(rng.standard_normal((batch, V, 3)) * 0.1,
+                                jnp.float32),
+            "mesh_valid": jnp.ones((batch, V, 3), jnp.float32),
+            "reg_pose3d": jnp.asarray(
+                rng.standard_normal((batch, J, 3)) * 100, jnp.float32),
+            "reg_pose3d_valid": jnp.ones((batch, J, 3), jnp.float32),
+            "lift_pose3d": jnp.asarray(
+                rng.standard_normal((batch, J, 3)) * 100, jnp.float32),
+            "lift_pose3d_valid": jnp.ones((batch, J, 3), jnp.float32),
+        }
+        j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
+        j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
+        init_model = Pose2Mesh(num_joint=mano.joint_num, mano=True,
+                               dtype=jnp.bfloat16, use_pallas=False)
+        variables = jax.jit(init_model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), art, batch_d["pose2d"], False)
+        tx = make_preconditioner("rmsprop")
+        state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, j_reg)
+    dev = jax.devices()[0]
+    state, art, batch_d = jax.device_put((state, art, batch_d), dev)
+
+    def step(s, a, bd):
+        s2, _losses = train_step(s, a, bd, jnp.float32(1e-3),
+                                 jnp.bool_(True), jax.random.PRNGKey(1))
+        return s2
+
+    dt = _time_scan(step, state, consts=(art, batch_d), small=2, large=10)
+    band = [op for op in art.mesh_ops if op.kind == "band"]
+    return {"value": round(batch / dt, 1), "unit": "samples/s",
+            "ms_per_step": round(dt * 1e3, 3), "batch": batch,
+            "levels": list(art.level_sizes),
+            "band_levels": [int(op.num_vertices) for op in band],
+            "band_tiles": [int(op.band_val.shape[1]) for op in band]}
+
+
 def main():
     out = {}
-    which = sys.argv[1:] or ["mano_infer", "smpl_train"]
+    which = sys.argv[1:] or ["mano_infer", "smpl_train", "mano_train"]
     for name in which:
         t0 = time.time()
         out[name] = {"mano_infer": bench_mano_infer,
-                     "smpl_train": bench_smpl_train}[name]()
+                     "smpl_train": bench_smpl_train,
+                     "mano_train": bench_mano_train}[name]()
         print(f"# {name}: {out[name]} ({time.time()-t0:.0f}s)",
               file=sys.stderr)
     print(json.dumps(out))

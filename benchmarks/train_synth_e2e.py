@@ -200,6 +200,42 @@ def main(steps=2000, batch=64, n_train=4096, n_eval=512):
 
     # --- PoseNet-only companion (LiftTrainer analogue, base.py:233-276) ---
     pn_out = None
+    try:
+        pn_out = _posenet_companion(steps, batch, n_train, n_eval, chunk,
+                                    train, evald, J, lr, rng, cpu, tx)
+    except Exception as e:  # pragma: no cover - companion must not lose
+        print(f"# posenet companion failed: {e!r}", file=sys.stderr)
+
+    # flattened = the last two evals moved < 1 mm (the judge's
+    # converged-at-the-schedule criterion, VERDICT r4 item 4)
+    flattened = (len(curve) >= 2 and
+                 abs(curve[-1]["pa_mpjpe_mm"] - curve[-2]["pa_mpjpe_mm"]) < 1.0)
+    out = {
+        "steps": done, "batch": batch, "optimizer": "rmsprop", "lr": lr,
+        "n_train": n_train, "n_eval": n_eval,
+        "fresh_batch_per_step": True,
+        "mpjpe_first_mm": curve[0]["mpjpe_mm"],
+        "mpjpe_last_mm": curve[-1]["mpjpe_mm"],
+        "pa_mpjpe_first_mm": curve[0]["pa_mpjpe_mm"],
+        "pa_mpjpe_last_mm": curve[-1]["pa_mpjpe_mm"],
+        "decreased": bool(curve[-1]["pa_mpjpe_mm"] < curve[0]["pa_mpjpe_mm"]
+                          and curve[-1]["mpjpe_mm"] < curve[0]["mpjpe_mm"]),
+        "flattened": flattened,
+        "curve": curve,
+    }
+    if pn_out is not None:
+        out["posenet"] = pn_out
+    print(json.dumps(out))
+
+
+def _posenet_companion(steps, batch, n_train, n_eval, chunk, train, evald,
+                       J, lr, rng, cpu, tx):
+    import jax
+    import jax.numpy as jnp
+
+    from pose2mesh_release_tpu.core.metrics import mpjpe
+    from pose2mesh_release_tpu.core.train import TrainState, make_posenet_steps
+    dev = jax.devices()[0]
     if os.environ.get("P2M_E2E_POSENET", "1") == "1":
         from pose2mesh_release_tpu.models.posenet import PoseNet
 
@@ -252,30 +288,10 @@ def main(steps=2000, batch=64, n_train=4096, n_eval=512):
                 pn_curve.append({"step": pn_done, "mpjpe_mm": round(e, 2)})
                 print(f"# posenet step {pn_done}: MPJPE {e:.1f} mm",
                       file=sys.stderr, flush=True)
-        pn_out = {"steps": pn_done, "mpjpe_first_mm": pn_curve[0]["mpjpe_mm"],
-                  "mpjpe_last_mm": pn_curve[-1]["mpjpe_mm"],
-                  "curve": pn_curve}
-
-    # flattened = the last two evals moved < 1 mm (the judge's
-    # converged-at-the-schedule criterion, VERDICT r4 item 4)
-    flattened = (len(curve) >= 2 and
-                 abs(curve[-1]["pa_mpjpe_mm"] - curve[-2]["pa_mpjpe_mm"]) < 1.0)
-    out = {
-        "steps": done, "batch": batch, "optimizer": "rmsprop", "lr": lr,
-        "n_train": n_train, "n_eval": n_eval,
-        "fresh_batch_per_step": True,
-        "mpjpe_first_mm": curve[0]["mpjpe_mm"],
-        "mpjpe_last_mm": curve[-1]["mpjpe_mm"],
-        "pa_mpjpe_first_mm": curve[0]["pa_mpjpe_mm"],
-        "pa_mpjpe_last_mm": curve[-1]["pa_mpjpe_mm"],
-        "decreased": bool(curve[-1]["pa_mpjpe_mm"] < curve[0]["pa_mpjpe_mm"]
-                          and curve[-1]["mpjpe_mm"] < curve[0]["mpjpe_mm"]),
-        "flattened": flattened,
-        "curve": curve,
-    }
-    if pn_out is not None:
-        out["posenet"] = pn_out
-    print(json.dumps(out))
+        return {"steps": pn_done, "mpjpe_first_mm": pn_curve[0]["mpjpe_mm"],
+                "mpjpe_last_mm": pn_curve[-1]["mpjpe_mm"],
+                "curve": pn_curve}
+    return None
 
 
 if __name__ == "__main__":

@@ -82,7 +82,10 @@ class _BNFoldStats(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray):
+    def __call__(self, y: jnp.ndarray, sums=None):
+        """sums: optional (sum_y, sum_y2) per-channel f32 vectors emitted
+        by the fused conv kernel (ops.pallas_cheby.fused_cheby_project_
+        stats) — the batch statistics then cost no extra HBM read of y."""
         F = y.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (F,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (F,), jnp.float32)
@@ -93,13 +96,19 @@ class _BNFoldStats(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            yf = y.astype(jnp.float32)
             n = y.shape[0] * y.shape[1]
-            mean = yf.sum(axis=(0, 1)) / n
-            # E[y^2]-E[y]^2 can go (slightly) negative under f32
-            # cancellation; clamp like flax nn.BatchNorm does, else
-            # rsqrt(var+eps) NaNs on large-mean/small-var channels
-            var = jnp.maximum((yf * yf).sum(axis=(0, 1)) / n - mean * mean, 0.0)
+            if sums is not None:
+                s, s2 = sums
+                mean = s / n
+                var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            else:
+                yf = y.astype(jnp.float32)
+                mean = yf.sum(axis=(0, 1)) / n
+                # E[y^2]-E[y]^2 can go (slightly) negative under f32
+                # cancellation; clamp like flax nn.BatchNorm does, else
+                # rsqrt(var+eps) NaNs on large-mean/small-var channels
+                var = jnp.maximum(
+                    (yf * yf).sum(axis=(0, 1)) / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
                     + (1.0 - self.momentum) * mean
@@ -208,6 +217,8 @@ class ChebConv(nn.Module):
             fused_conv_flat_dispatch as fused_conv_flat, pallas_supported,
         )
 
+        from ..ops.pallas_cheby import fused_cheby_project_stats
+
         if self.flat_batch:
             # flat deploy path (inference only, BN pre-folded)
             B = self.flat_batch
@@ -270,6 +281,7 @@ class ChebConv(nn.Module):
             fold_in = None
 
         folded = self.inference_fused and self.use_bn and not train
+        kstats = None  # kernel-emitted BN batch-stat sums (train path)
         graph_sharded = (self.spmd_mesh is not None
                          and dict(self.spmd_mesh.shape).get("graph", 1) > 1)
         if graph_sharded and x.ndim == 3:
@@ -298,12 +310,24 @@ class ChebConv(nn.Module):
             # fused kernel wants basis-major rows: [W_x; W_Lx; W_cheb2]
             w_basis = kernel.reshape(fin, self.K, self.fout)
             w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
+            import os as _os2
+            kernel_stats = (train and self.use_bn and not folded
+                            and fold_in is None
+                            and _os2.environ.get("P2M_KERNEL_BN", "1") == "1")
             if fold_pallas:
                 # previous conv's BN-apply + ReLU folded into this conv's
                 # in-kernel input read (P2M_FOLD_BN training path)
                 y = fused_cheby_project_folded(
                     op, x, w_basis.astype(self.dtype),
                     bias.astype(self.dtype), fold_in[0], fold_in[1])
+            elif kernel_stats:
+                # training BN statistics emitted by the kernel itself:
+                # the separate stats reduction over y (an extra HBM read
+                # per conv) disappears (VERDICT r4 item #7)
+                y, kbn_s, kbn_s2 = fused_cheby_project_stats(
+                    op, x, w_basis.astype(self.dtype),
+                    bias.astype(self.dtype))
+                kstats = (kbn_s, kbn_s2)
             else:
                 conv = fused_cheby_project_relu if folded and self.use_relu                     else fused_cheby_project
                 y = conv(op, x, w_basis.astype(self.dtype), bias.astype(self.dtype))
@@ -329,7 +353,7 @@ class ChebConv(nn.Module):
             # the activated tensor (caller pairs this with fold_in)
             sc, sh = _BNFoldStats(use_running_average=not train,
                                   momentum=0.9, epsilon=1e-5,
-                                  name="BatchNorm_0")(y)
+                                  name="BatchNorm_0")(y, sums=kstats)
             return y, (sc, sh)
         if self.use_bn:
             # torch BatchNorm1d over B*V rows == flax BN reducing all
@@ -342,6 +366,13 @@ class ChebConv(nn.Module):
                     epsilon=1e-5, dtype=self.dtype,
                     name="BatchNorm_0")(y)
                 y = jnp.where(mask, y, jnp.zeros_like(y))
+            elif kstats is not None:
+                # apply via the kernel-emitted sums; parameter/batch-stat
+                # layout identical to nn.BatchNorm (name="BatchNorm_0")
+                sc, sh = _BNFoldStats(use_running_average=not train,
+                                      momentum=0.9, epsilon=1e-5,
+                                      name="BatchNorm_0")(y, sums=kstats)
+                y = (y.astype(jnp.float32) * sc + sh).astype(self.dtype)
             else:
                 y = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,

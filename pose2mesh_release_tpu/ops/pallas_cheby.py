@@ -455,7 +455,8 @@ def fused_conv_flat_commuted(op: LevelOperator, x2: jax.Array, batch: int,
 
 def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
                           skip_mode=None, Fs=0, out_3d=False,
-                          keep_basis=False, in_fold=False):
+                          keep_basis=False, in_fold=False,
+                          emit_stats=False, stats_rows=0, ncc=1, ntg=1):
     """m output row-tiles per program, block-bandwidth k.  Window layout per
     program (grid index t): x refs cover tiles t*m + [-2k .. m-1+2k]
     (m+4k refs), band refs cover rows t*m + [-k .. m-1+k] (m+2k refs).
@@ -496,12 +497,28 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
             fold_refs = (rest.pop(0), rest.pop(0))  # scale, shift (1, BC*F)
         w_ref, bias_ref = rest[0], rest[1]
         skip_w_ref = rest[2] if skip_mode == "proj" else None
+        s_ref = s2_ref = s_acc = s2_acc = None
         if keep_basis:
             # extra outputs: the Chebyshev basis tiles (z1, z2) — the
             # training backward reuses them for the weight gradients
             out_ref, z1_out_ref, z2_out_ref, z1_ref = rest[-4:]
+        elif emit_stats:
+            # per-channel BatchNorm batch statistics (sum y, sum y^2)
+            # accumulated in VMEM f32 scratch across the whole grid and
+            # flushed at the last program — the values are already in
+            # registers post-projection, so the stats passes that the
+            # training path otherwise pays as separate HBM reads of y
+            # (VERDICT r4 item #7) cost only 2 VPU flops/element here
+            out_ref, s_ref, s2_ref, z1_ref, s_acc, s2_acc = rest[-6:]
         else:
             out_ref, z1_ref = rest[-2], rest[-1]
+        if emit_stats:
+            c_id, t_id = pl.program_id(0), pl.program_id(1)
+
+            @pl.when(jnp.logical_and(c_id == 0, t_id == 0))
+            def _():
+                s_acc[:] = jnp.zeros_like(s_acc)
+                s2_acc[:] = jnp.zeros_like(s2_acc)
         if in_fold:
             # f32 VPU transform: Mosaic's vector compare/relu path wants
             # f32 (bf16 cmpf is unsupported on this target)
@@ -551,6 +568,16 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
                                   _rows(z2)], axis=1)
             acc = jnp.dot(xz, w_ref[:], preferred_element_type=jnp.float32)
             acc += bias_ref[0][None, :].astype(jnp.float32)
+            if emit_stats:
+                # pre-activation sums over REAL vertex rows only (row pads
+                # carry the bias after projection and must not pollute the
+                # batch statistics)
+                a3 = acc.reshape(T, BC, Fout)
+                row0 = (pl.program_id(1) * m + j) * T
+                rmask = (jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
+                         + row0 < stats_rows).astype(jnp.float32)
+                s_acc[0, :] += (a3 * rmask).sum(axis=(0, 1))
+                s2_acc[0, :] += (a3 * a3 * rmask).sum(axis=(0, 1))
             if relu:  # deploy-mode: BN folded into W/b, activation in-kernel
                 acc = jnp.maximum(acc, 0.0)
             if skip_mode == "add":
@@ -566,6 +593,12 @@ def _fused_kernel_factory(T, BC, F, Fout, m, k=1, relu=False,
                 out_ref[j * T:(j + 1) * T, :] = (
                     acc.astype(dt).reshape(T, BC, Fout).reshape(T, BC * Fout)
                 )
+
+        if emit_stats:
+            @pl.when(jnp.logical_and(c_id == ncc - 1, t_id == ntg - 1))
+            def _():
+                s_ref[:] = s_acc[:]
+                s2_ref[:] = s2_acc[:]
 
     return kernel
 
@@ -910,7 +943,7 @@ def _fused_bwd_call(band_val, g, x, W, T, in_fold=None):
 
 
 def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
-                in_fold=None):
+                in_fold=None, emit_stats=False):
     nbd, nt = band_val.shape[0], band_val.shape[1]
     k = nbd // 2
     V, B, F = x.shape
@@ -955,12 +988,22 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
     out_specs = pl.BlockSpec((m * T, BC * Fout), lambda c, t: (t, c),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((Vp, B * Fout), x.dtype)
+    scratch = [pltpu.VMEM(((m + 2 * k) * T, BC * F), x.dtype)]
     if keep_basis:
         basis_spec = pl.BlockSpec((m * T, BC * F), lambda c, t: (t, c),
                                   memory_space=pltpu.VMEM)
         basis_shape = jax.ShapeDtypeStruct((Vp, B * F), x.dtype)
         out_specs = (out_specs, basis_spec, basis_spec)
         out_shape = (out_shape, basis_shape, basis_shape)
+    elif emit_stats:
+        vec_spec = pl.BlockSpec((1, Fout), lambda c, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        vec_shape = jax.ShapeDtypeStruct((1, Fout), jnp.float32)
+        out_specs = (out_specs, vec_spec, vec_spec)
+        out_shape = (out_shape, vec_shape, vec_shape)
+        # z1 window scratch must stay LAST-but-one in the kernel's rest[]
+        # unpack; stats accumulators follow it
+        scratch = scratch + [pltpu.VMEM((1, Fout), jnp.float32)] * 2
     fold_specs, fold_ops = [], []
     if in_fold is not None:
         sc, sh = in_fold
@@ -972,7 +1015,9 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
     out = pl.pallas_call(
         _fused_kernel_factory(T, BC, F, Fout, m, k, relu,
                               keep_basis=keep_basis,
-                              in_fold=in_fold is not None),
+                              in_fold=in_fold is not None,
+                              emit_stats=emit_stats, stats_rows=V,
+                              ncc=ncc, ntg=nt_pad // m),
         grid=(ncc, nt_pad // m),
         in_specs=band_specs + x_specs + fold_specs + [
             pl.BlockSpec((3 * F, Fout), lambda c, t: (0, 0),
@@ -982,7 +1027,7 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM(((m + 2 * k) * T, BC * F), x.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -993,6 +1038,9 @@ def _fused_call(band_val, x, W, b, T, relu=False, keep_basis=False,
         y, z1, z2 = out
         return (y[:V].reshape(V, B, Fout), z1[:V].reshape(V, B, F),
                 z2[:V].reshape(V, B, F))
+    if emit_stats:
+        y, s, s2 = out
+        return y[:V].reshape(V, B, Fout), s[0], s2[0]
     return out[:V].reshape(V, B, Fout)
 
 
@@ -1145,6 +1193,60 @@ def fused_cheby_project_folded(op: LevelOperator, x_raw: jax.Array,
                         Wp.reshape(3 * Fp, Fop), bp, sp, cp)
         return y[..., :Fout]
     return _fused_fold(op.block_size, op.band_val, x_raw, W, b, scale, shift)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_stats(T, band_val, x, W, b):
+    """Conv + in-kernel per-channel batch-stat sums: returns
+    (y, sum_y (Fout,) f32, sum_y2 (Fout,) f32) with the sums taken over
+    the real (unpadded) V*B rows.  The training BatchNorm computes its
+    batch mean/var from these for free instead of re-reading y from HBM
+    (VERDICT r4 item #7)."""
+    return _fused_call(band_val, x, W, b, T, emit_stats=True)
+
+
+def _fused_stats_fwd(T, band_val, x, W, b):
+    y, s, s2 = _fused_call(band_val, x, W, b, T, emit_stats=True)
+    # y is returned AND saved: same buffer, XLA emits no copy
+    return (y, s, s2), (band_val, x, W, y)
+
+
+def _fused_stats_bwd(T, res, cts):
+    band_val, x, W, y = res
+    gy, gs, gs2 = cts
+    # d(sum y)/dy = 1, d(sum y^2)/dy = 2y: both cotangents fold into the
+    # output cotangent elementwise (XLA fuses this into gy's producer),
+    # then the standard fully fused backward runs once
+    g = (gy.astype(jnp.float32)
+         + gs[None, None, :]
+         + 2.0 * y.astype(jnp.float32) * gs2[None, None, :]).astype(y.dtype)
+    gx, dW_full, db = _fused_bwd_call(band_val, g, x, W, T)
+    return (jnp.zeros_like(band_val), gx, dW_full.astype(W.dtype),
+            db.astype(W.dtype))
+
+
+_fused_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)
+
+
+def fused_cheby_project_stats(op: LevelOperator, x: jax.Array,
+                              W: jax.Array, b: jax.Array):
+    """Training-path conv that also emits BatchNorm batch-stat sums.
+    Returns (y, sum_y, sum_y2) with sums over the real V*B rows in f32.
+    Caller guarantees pallas support; channels are padded to 128 lanes
+    like fused_cheby_project (pad lanes produce zero sums and are
+    sliced off)."""
+    F = x.shape[-1]
+    Fout = W.shape[1]
+    Fp, Fop = _pad128(F), _pad128(Fout)
+    if Fp != F or Fop != Fout:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, Fp - F))) if Fp != F else x
+        Wp = W.reshape(3, F, Fout)
+        Wp = jnp.pad(Wp, ((0, 0), (0, Fp - F), (0, Fop - Fout)))
+        bp = jnp.pad(b, (0, Fop - Fout))
+        y, s, s2 = _fused_stats(op.block_size, op.band_val, xp,
+                                Wp.reshape(3 * Fp, Fop), bp)
+        return y[..., :Fout], s[:Fout], s2[:Fout]
+    return _fused_stats(op.block_size, op.band_val, x, W, b)
 
 
 def _fused_enabled() -> bool:

@@ -434,3 +434,101 @@ def test_fused_fold_matches_unfused(band_op):
     for a, bb in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fused_stats_kernel_matches(band_op):
+    """fused_cheby_project_stats: y equals the plain fused conv; the
+    emitted (sum_y, sum_y2) equal direct reductions of y; and the VJP
+    (including cotangents flowing through the sums, the BatchNorm-stats
+    path) matches the XLA reference formulation."""
+    from pose2mesh_release_tpu.ops.pallas_cheby import (
+        fused_cheby_project_stats,
+    )
+
+    V = band_op.num_vertices
+    F, Fout = 128, 64  # asymmetric + lane-padded output
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((V, 2, F)).astype(np.float32))
+    Wc = jnp.asarray(rng.standard_normal((F * 3, Fout)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.standard_normal((Fout,)).astype(np.float32))
+    Wb = Wc.reshape(F, 3, Fout).transpose(1, 0, 2).reshape(3 * F, Fout)
+
+    y, s, s2 = fused_cheby_project_stats(band_op, x, Wb, b)
+    y_ref = chebyshev_stack(band_op, x, 3) @ Wc + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(y_ref).sum((0, 1)),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s2),
+                               (np.asarray(y_ref) ** 2).sum((0, 1)),
+                               rtol=1e-3, atol=1e-2)
+
+    # gradients: a BN-like loss consuming y AND the sums (mean/var path)
+    n = V * 2
+
+    def f_stats(x, Wb, b):
+        y, s, s2 = fused_cheby_project_stats(band_op, x, Wb, b)
+        mean = s / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (yn ** 2).mean() + (jnp.maximum(yn, 0.0)).sum() * 1e-3
+
+    def f_ref(x, Wc, b):
+        y = chebyshev_stack(band_op, x, 3) @ Wc + b
+        mean = y.mean(axis=(0, 1))
+        var = jnp.maximum((y * y).mean(axis=(0, 1)) - mean * mean, 0.0)
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (yn ** 2).mean() + (jnp.maximum(yn, 0.0)).sum() * 1e-3
+
+    gx_f, gW_f, gb_f = jax.grad(f_stats, argnums=(0, 1, 2))(x, Wb, b)
+    gx_r, gW_r, gb_r = jax.grad(f_ref, argnums=(0, 1, 2))(x, Wc, b)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-2, atol=1e-3)
+    gW_r_basis = np.asarray(gW_r).reshape(F, 3, Fout).transpose(1, 0, 2)         .reshape(3 * F, Fout)
+    np.testing.assert_allclose(np.asarray(gW_f), gW_r_basis,
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_kernel_bn_model_parity(monkeypatch):
+    """Full MeshNet train step: P2M_KERNEL_BN=1 (stats from the fused
+    kernel) must reproduce P2M_KERNEL_BN=0 (flax nn.BatchNorm) — outputs,
+    gradients AND updated batch_stats."""
+    from pose2mesh_release_tpu.models.meshnet import MeshNet
+
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=7, skeleton=[(0, 1), (1, 2)],
+                        levels=4)
+    art = pack_pyramid(pyr, dense_threshold=128, sparse_kind="band")
+    n_mesh = len(art.mesh_ops)
+    blocks = ((5, 16, 16),) + tuple((16, 16) for _ in range(n_mesh)) \
+        + ((16, 8, 3),)
+    model = MeshNet(blocks=blocks)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 7, 5)).astype(np.float32))
+
+    monkeypatch.setenv("P2M_KERNEL_BN", "0")
+    variables = model.init(jax.random.PRNGKey(0), art, x, True)
+
+    def loss(params, flag):
+        monkeypatch.setenv("P2M_KERNEL_BN", flag)
+        out, mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            art, x, True, mutable=["batch_stats"])
+        return (out ** 2).mean(), (out, mut["batch_stats"])
+
+    outs = {}
+    for flag in ("0", "1"):
+        (l, (out, bs)), g = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], flag)
+        outs[flag] = (l, out, bs, g)
+    l0, out0, bs0, g0 = outs["0"]
+    l1, out1, bs1, g1 = outs["1"]
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3), bs0, bs1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3), g0, g1)

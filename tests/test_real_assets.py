@@ -200,3 +200,47 @@ def test_real_smpl_cascade_activation_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(pose3d), t_pose.numpy(),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(ours_mesh, t_mesh, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(not _has_smpl(), reason="real SMPL pkl not present")
+def test_real_smpl_band_packing():
+    """Band packing on the REAL SMPL topology (VERDICT r4 item #8): every
+    chip-perf claim so far uses the uv_sphere stand-in; the moment the pkl
+    appears this pins down the real mesh's band structure — the fused
+    kernels' dispatch eligibility (band kind, T=128, band_k <= 2) and the
+    per-level scalar bandwidth / band_k / tile counts that set the hop
+    window cost.  Prints the packing so a bench run on the real topology
+    (`python bench.py` picks the pkl up automatically via body.loader)
+    can be compared against the synthetic-topology numbers."""
+    from pose2mesh_release_tpu.body.smpl import SMPL
+    from pose2mesh_release_tpu.graphs.artifact import pack_pyramid
+    from pose2mesh_release_tpu.graphs.build import build_pyramid
+    from pose2mesh_release_tpu.ops.pallas_cheby import pallas_supported
+    import jax.numpy as jnp
+
+    smpl = SMPL(model_dir=SMPL_DIR)
+    skeleton = ((0, 7), (7, 8), (8, 9), (9, 10), (8, 11), (11, 12),
+                (12, 13), (8, 14), (14, 15), (15, 16), (0, 1), (1, 2),
+                (2, 3), (0, 4), (4, 5), (5, 6))
+    pyr = build_pyramid(smpl.face, joint_num=17, skeleton=skeleton, levels=9)
+    art = pack_pyramid(pyr, smpl.face)
+    band = [op for op in art.mesh_ops if op.kind == "band"]
+    assert band, "real SMPL pyramid must produce band levels"
+    rows = []
+    for op in band:
+        # fused-kernel eligibility on the real topology
+        assert op.block_size == 128
+        assert 1 <= op.band_k <= 2, (op.num_vertices, op.band_k)
+        assert pallas_supported(op, jnp.zeros((op.num_vertices, 1, 1)))
+        # scalar bandwidth consistent with the block structure
+        assert op.band_bw <= (op.band_k + 1) * op.block_size - 1
+        rows.append((op.num_vertices, op.band_val.shape[1], op.band_k,
+                     op.band_bw))
+    print(f"real SMPL band packing (V, tiles, band_k, bw): {rows}")
+    # the finest level is the real 6890-vertex mesh, tile counts padded to
+    # the kernel row-group (pack_pyramid group rounding)
+    assert band[0].num_vertices == 6890
+    for op in band:
+        group = 8 if op.band_k >= 2 else 4
+        assert op.band_val.shape[1] % min(group,
+                                          op.band_val.shape[1]) == 0
