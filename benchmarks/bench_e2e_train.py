@@ -88,7 +88,8 @@ def main(n_samples: int = 12800, batch: int = 64):
         cfg = load_config(overrides={
             "TRAIN": {"batch_size": batch, "print_freq": 50,
                       "edge_loss_start": 0},
-            "DATASET": {"input_joint_set": "human36", "workers": 2},
+            "DATASET": {"input_joint_set": "human36", "workers": 2,
+                        "test_list": []},  # no eval split in this bench
             "output_dir": "/tmp/p2m_e2e_bench",
         })
         trainer = Trainer(cfg, datasets=[ds], test_dataset=None,
@@ -138,61 +139,138 @@ def main(n_samples: int = 12800, batch: int = 64):
             s2, _l = step_fn(c, a, b_, lr, use_edge, rng)
             return s2, ()
         s2, _ = jax.lax.scan(body, s, None, length=n)
-        return s2.step
+        # probe a PARAMETER leaf: probing .step lets XLA compute s0.step+n
+        # and dead-code-eliminate the whole train step (bench_configs note)
+        return jax.tree.leaves(s2.params)[0].astype(jnp.float32).mean()
 
     small, large = 2, 12
-    int(chain(small, trainer.state, trainer.art_dev, bd_dev))
-    int(chain(large, trainer.state, trainer.art_dev, bd_dev))
+    float(chain(small, trainer.state, trainer.art_dev, bd_dev))
+    float(chain(large, trainer.state, trainer.art_dev, bd_dev))
     ts, tl = [], []
     for _ in range(3):
         t0 = time.time()
-        int(chain(small, trainer.state, trainer.art_dev, bd_dev))
+        float(chain(small, trainer.state, trainer.art_dev, bd_dev))
         ts.append(time.time() - t0)
         t0 = time.time()
-        int(chain(large, trainer.state, trainer.art_dev, bd_dev))
+        float(chain(large, trainer.state, trainer.art_dev, bd_dev))
         tl.append(time.time() - t0)
     dev_ms = max(min(tl) - min(ts), 1e-9) / (large - small) * 1e3
     dev_rate = batch / dev_ms * 1e3
     print(f"# device step alone (resident): {dev_ms:.1f} ms/batch "
           f"({dev_rate:.0f} samples/s)", file=sys.stderr, flush=True)
 
-    # --- (c) END-TO-END: loader -> device_put -> step, one full epoch -----
+    # --- transfer-only: ship batches, touch one scalar per batch ----------
+    t0 = time.time()
+    n_x = 0
+    for inputs, targets, meta in trainer.loader:
+        b = {"pose2d": inputs["pose2d"], "mesh": targets["mesh"],
+             "lift_pose3d": targets["lift_pose3d"],
+             "reg_pose3d": targets["reg_pose3d"], **meta}
+        bdv = trainer._put_batch(b)
+        last = bdv["mesh"]
+        n_x += 1
+        if n_x >= 40:
+            break
+    float(jnp.asarray(last).ravel()[0])
+    xfer_ms = (time.time() - t0) / n_x * 1e3
+    print(f"# transfer-only: {xfer_ms:.1f} ms/batch", file=sys.stderr,
+          flush=True)
+
+    # --- (c) END-TO-END: loader -> device_put -> step ---------------------
     def epoch(n_batches=None):
         t0 = time.time()
         n = 0
-        last = None
         for inputs, targets, meta in trainer.loader:
             b = {"pose2d": inputs["pose2d"], "mesh": targets["mesh"],
                  "lift_pose3d": targets["lift_pose3d"],
                  "reg_pose3d": targets["reg_pose3d"], **meta}
             b = trainer._put_batch(b)
-            trainer.state, last = trainer._train_step(
+            trainer.state, _ = trainer._train_step(
                 trainer.state, trainer.art_dev, b, lr, use_edge, rng)
             n += 1
             if n_batches and n >= n_batches:
                 break
         # one sync at the end: everything above dispatched async
-        float(last["total"])
+        float(jax.tree.leaves(trainer.state.params)[0].ravel()[0])
         return n, time.time() - t0
 
     epoch(n_batches=5)  # warm the pipeline/queue
     n, e2e_s = epoch()
     e2e_rate = n * batch / e2e_s
     e2e_ms = e2e_s / n * 1e3
-    print(f"# END-TO-END: {n} batches in {e2e_s:.2f}s "
+    print(f"# END-TO-END k=1: {n} batches in {e2e_s:.2f}s "
           f"({e2e_rate:.0f} samples/s, {e2e_ms:.1f} ms/batch)",
           file=sys.stderr, flush=True)
 
+    # --- (d) END-TO-END with multi-step dispatch (cfg.TPU.steps_per_
+    # dispatch): k batches stacked into ONE transfer + ONE k-step scan —
+    # amortizes the per-call dispatch/transfer latency the k=1 numbers pay
+    from pose2mesh_release_tpu.core.train import make_multi_train_step
+    K = int(os.environ.get("P2M_E2E_K", "16"))
+    multi = jax.jit(make_multi_train_step(step_fn), donate_argnums=(0,))
+
+    def epoch_k(n_batches=None):
+        t0 = time.time()
+        n = 0
+        pend = []
+        for inputs, targets, meta in trainer.loader:
+            pend.append({"pose2d": np.asarray(inputs["pose2d"]),
+                         "mesh": np.asarray(targets["mesh"]),
+                         "lift_pose3d": np.asarray(targets["lift_pose3d"]),
+                         "reg_pose3d": np.asarray(targets["reg_pose3d"]),
+                         **{k2: np.asarray(v) for k2, v in meta.items()}})
+            if len(pend) == K:
+                stacked = {k2: np.stack([p[k2] for p in pend])
+                           for k2 in pend[0]}
+                trainer.state, _ = multi(
+                    trainer.state, trainer.art_dev,
+                    trainer._put_batch(stacked), lr, use_edge, rng)
+                n += len(pend)
+                pend = []
+            if n_batches and n >= n_batches:
+                break
+        float(jax.tree.leaves(trainer.state.params)[0].ravel()[0])
+        return n, time.time() - t0
+
+    epoch_k(n_batches=2 * K)  # compile + warm
+    nk, ek_s = epoch_k()
+    ek_rate = nk * batch / ek_s
+    ek_ms = ek_s / nk * 1e3
+    print(f"# END-TO-END k={K}: {nk} batches in {ek_s:.2f}s "
+          f"({ek_rate:.0f} samples/s, {ek_ms:.1f} ms/batch)",
+          file=sys.stderr, flush=True)
+
+    batch_bytes = sum(np.asarray(v).nbytes for v in bd.values())
+    link_mb_s = batch_bytes / 1e6 / (xfer_ms / 1e3)
+    # co-located host projection: PCIe gen3 x16 (~12 GB/s effective, the
+    # conservative end of real TPU-host links) moves this batch in
+    # batch_bytes / 12e9 seconds — fully hidden under the device step
+    proj_xfer_ms = batch_bytes / 12e9 * 1e3
+    best_rate = max(e2e_rate, ek_rate)
     out = {
         "n_samples": n_samples, "batch": batch,
         "fused_batch_path": bool(ds.supports_batch()),
+        "bytes_per_batch": int(batch_bytes),
+        "mesh_xfer_f16": os.environ.get("P2M_MESH_XFER_F16", "0") == "1",
         "host_only_samples_per_s": round(host_rate, 1),
         "host_only_ms_per_batch": round(host_s / nb * 1e3, 2),
         "device_only_samples_per_s": round(dev_rate, 1),
         "device_only_ms_per_batch": round(dev_ms, 2),
-        "e2e_samples_per_s": round(e2e_rate, 1),
-        "e2e_ms_per_batch": round(e2e_ms, 2),
-        "e2e_over_device_only": round(e2e_rate / dev_rate, 3),
+        "transfer_only_ms_per_batch": round(xfer_ms, 2),
+        "measured_link_mb_per_s": round(link_mb_s, 1),
+        "e2e_k1_samples_per_s": round(e2e_rate, 1),
+        "e2e_k1_ms_per_batch": round(e2e_ms, 2),
+        "steps_per_dispatch": K,
+        "e2e_k_samples_per_s": round(ek_rate, 1),
+        "e2e_k_ms_per_batch": round(ek_ms, 2),
+        "e2e_samples_per_s": round(best_rate, 1),
+        "e2e_over_device_only": round(best_rate / dev_rate, 3),
+        "colocated_host_projection": {
+            "assumed_link_gb_s": 12.0,
+            "transfer_ms_per_batch": round(proj_xfer_ms, 3),
+            "e2e_over_device_only": round(
+                dev_ms / max(dev_ms, host_s / nb * 1e3, proj_xfer_ms), 3),
+        },
         "host_cores": os.cpu_count(),
     }
     print(json.dumps(out))

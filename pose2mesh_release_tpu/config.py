@@ -91,6 +91,11 @@ class TpuCfg:
     use_pallas: bool = True
     data_axis: int = 1                # devices on the data-parallel axis
     graph_axis: int = 1               # devices on the vertex-sharding axis
+    # train steps executed per host dispatch: k > 1 stacks k batches, ships
+    # them in ONE transfer and runs a jitted k-step scan — amortizes the
+    # per-call host->device latency (dominant on relayed/remote TPUs; the
+    # e2e train bench measures the effect)
+    steps_per_dispatch: int = 1
     levels: int = 9                   # coarsening levels (9 SMPL / 6 MANO)
     block_size: int = 128
     dense_threshold: int = 768

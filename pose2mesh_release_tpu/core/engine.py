@@ -33,7 +33,8 @@ from ..models.pose2mesh import Pose2Mesh
 from ..models.posenet import PoseNet
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .optim import make_preconditioner, multistep_lr
-from .train import TrainState, make_eval_step, make_posenet_steps, make_train_step
+from .train import (TrainState, make_eval_step, make_multi_train_step,
+                    make_posenet_steps, make_train_step)
 
 __all__ = ["Trainer", "Tester", "LiftTrainer", "LiftTester", "build_datasets"]
 
@@ -171,15 +172,25 @@ class Trainer(_Base):
         self.lr_at = multistep_lr(cfg.TRAIN.lr, cfg.TRAIN.lr_step,
                                   cfg.TRAIN.lr_factor)
         j_reg = jnp.asarray(main.target_regressor())
-        self._train_step = jax.jit(
-            make_train_step(
-                self.model, self.tx, j_reg,
-                normal_weight=cfg.MODEL.normal_loss_weight,
-                edge_weight=cfg.MODEL.edge_loss_weight,
-                joint_weight=cfg.MODEL.joint_loss_weight,
-            ),
-            donate_argnums=(0,),
+        step_fn = make_train_step(
+            self.model, self.tx, j_reg,
+            normal_weight=cfg.MODEL.normal_loss_weight,
+            edge_weight=cfg.MODEL.edge_loss_weight,
+            joint_weight=cfg.MODEL.joint_loss_weight,
         )
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+        # k > 1: one dispatch + one stacked transfer per k steps (cfg.TPU.
+        # steps_per_dispatch; amortizes per-call latency on remote TPUs).
+        # Under a device mesh the stacked batch's DATA axis is dim 1, which
+        # shard_batch (leading-dim 'data') does not express — multi-step
+        # dispatch is a single-device/replicated-path feature for now.
+        self.steps_per_dispatch = max(1, cfg.TPU.steps_per_dispatch)
+        if self.steps_per_dispatch > 1 and self.mesh is not None:
+            raise ValueError("cfg.TPU.steps_per_dispatch > 1 requires a "
+                             "1x1 mesh (stacked batches shard on dim 1)")
+        self._multi_step = (jax.jit(make_multi_train_step(step_fn),
+                                    donate_argnums=(0,))
+                            if self.steps_per_dispatch > 1 else None)
 
         # init / resume — jitted, on the host CPU backend when available:
         # un-jitted flax init dispatches thousands of eager ops, which on a
@@ -241,23 +252,49 @@ class Trainer(_Base):
         rng = jax.random.fold_in(self.rng, epoch)
         losses = []
         t0 = time.time()
+        k = self.steps_per_dispatch
+        pending: List[dict] = []
+
+        def flush_pending():
+            # stack k host batches -> ONE transfer + ONE k-step dispatch
+            stacked = {key: np.stack([b[key] for b in pending])
+                       for key in pending[0]}
+            self.state, ls = self._multi_step(
+                self.state, self.art_dev, self._put_batch(stacked),
+                lr, use_edge, rng)
+            for j in range(len(pending)):
+                losses.append({key: v[j] for key, v in ls.items()})
+            pending.clear()
+
         for i, (inputs, targets, meta) in enumerate(self.loader):
             batch = {
                 "pose2d": inputs["pose2d"],
                 "mesh": targets["mesh"],
                 "lift_pose3d": targets["lift_pose3d"],
                 "reg_pose3d": targets["reg_pose3d"],
-                **{k: v for k, v in meta.items()},
+                **{k2: v for k2, v in meta.items()},
             }
-            batch = self._put_batch(batch)
-            self.state, loss = self._train_step(
-                self.state, self.art_dev, batch, lr, use_edge, rng
-            )
-            if i % self.cfg.TRAIN.print_freq == 0:
-                l = {k: float(v) for k, v in loss.items()}
+            if k > 1:
+                pending.append({key: np.asarray(v)
+                                for key, v in batch.items()})
+                if len(pending) == k:
+                    flush_pending()
+            else:
+                batch = self._put_batch(batch)
+                self.state, loss = self._train_step(
+                    self.state, self.art_dev, batch, lr, use_edge, rng
+                )
+                losses.append(loss)
+            if i % self.cfg.TRAIN.print_freq == 0 and losses:
+                l_tot = float(losses[-1]["total"])
                 rate = (i + 1) * self.cfg.TRAIN.batch_size / (time.time() - t0)
                 print(f"epoch {epoch} it {i}/{len(self.loader)} "
-                      f"loss {l['total']:.4f} ({rate:.0f} samples/s)")
+                      f"loss {l_tot:.4f} ({rate:.0f} samples/s)")
+        # tail shorter than k: run the remaining batches one dispatch each
+        for b in pending:
+            self.state, loss = self._train_step(
+                self.state, self.art_dev, self._put_batch(b),
+                lr, use_edge, rng)
             losses.append(loss)
         mean = float(np.mean([float(l["total"]) for l in losses])) if losses else 0.0
         self.train_log.append(mean)

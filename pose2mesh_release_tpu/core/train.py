@@ -27,7 +27,8 @@ from ..graphs.artifact import PyramidArtifact
 from ..models.meshnet import extract_mesh
 from .losses import coord_l1, pose2mesh_loss
 
-__all__ = ["TrainState", "make_train_step", "make_eval_step", "make_posenet_steps"]
+__all__ = ["TrainState", "make_train_step", "make_multi_train_step",
+           "make_eval_step", "make_posenet_steps"]
 
 
 @jax.tree_util.register_dataclass
@@ -72,6 +73,10 @@ def make_train_step(
         rng: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
+        if batch["mesh"].dtype != jnp.float32:
+            # f16 transfer path (P2M_MESH_XFER_F16): upcast once on device
+            # so the normal/edge losses' cross products run in f32
+            batch = dict(batch, mesh=batch["mesh"].astype(jnp.float32))
 
         def loss_fn(params):
             (mesh_dev, pose3d), mutated = model.apply(
@@ -107,6 +112,24 @@ def make_train_step(
         return new_state, losses
 
     return train_step
+
+
+def make_multi_train_step(train_step: Callable) -> Callable:
+    """Wrap a train step into a k-step `lax.scan` over a STACKED batch
+    (leaves shaped (k, B, ...)): one host dispatch and one H2D transfer
+    drive k optimizer steps.  Amortizes per-call dispatch/transfer latency
+    (the dominant end-to-end cost on relayed TPUs — measured in
+    benchmarks/bench_e2e_train.py); per-step semantics are identical (the
+    step's own rng fold keys off state.step, which advances per scan
+    iteration).  Losses return stacked (k,) per key."""
+
+    def multi_step(state, art, batches, lr, use_edge_loss, rng):
+        def body(s, bd):
+            s2, losses = train_step(s, art, bd, lr, use_edge_loss, rng)
+            return s2, losses
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
 
 
 def make_eval_step(model, j_regressor: jax.Array) -> Callable:

@@ -210,11 +210,15 @@ class MeshDataset:
             return joint_img.astype(np.float32), joint_cam.astype(np.float32), valid
 
         V = self.mesh_model.vertex_num if self.mesh_model is not None else 0
+        # mesh validity is PER SAMPLE (fit-error / missing-GT invalidation
+        # zeroes whole samples in every dataset), so the mask is a (1, 1)
+        # broadcast scalar — shipping a (V, 1) per-vertex copy doubled the
+        # host->device bytes of every training batch for no information
         if mesh_cam is None:
             mesh_cam = np.zeros((V, 3), np.float32)
-            mesh_valid = np.zeros((V, 1), np.float32)
+            mesh_valid = np.zeros((1, 1), np.float32)
         else:
-            mesh_valid = np.ones((len(mesh_cam), 1), np.float32)
+            mesh_valid = np.ones((1, 1), np.float32)
         if reg3d is None:
             nt = len(get_joint_set(self.target_joint_name).joints_name)
             reg3d = np.zeros((nt, 3), np.float32)
@@ -273,8 +277,8 @@ class MeshDataset:
             target_flip_pairs=self.target_flip_pairs(),
         )
         B = len(idx)
-        V = mesh.shape[1]
-        mesh_valid = np.ones((B, V, 1), np.float32)
+        # per-sample broadcast mask (see __getitem__ note)
+        mesh_valid = np.ones((B, 1, 1), np.float32)
         lift_valid = np.ones((B, joint_cam.shape[1], 1), np.float32)
         reg_valid = np.ones((B, reg3d.shape[1], 1), np.float32)
         if self.fit_error is not None:
@@ -282,8 +286,15 @@ class MeshDataset:
             mesh_valid[bad] = 0.0
             if self.input_joint_name == "coco":
                 lift_valid[bad] = 0.0
+        mesh_t = out["mesh"] / 1000.0
+        if os.environ.get("P2M_MESH_XFER_F16", "0") == "1":
+            # opt-in: ship GT meshes to the device in f16 (meters; ulp
+            # <= 1 mm at body scale) — halves the dominant H2D payload on
+            # bandwidth-limited links (benchmarks/bench_e2e_train.py);
+            # losses upcast, so only the target quantization changes
+            mesh_t = mesh_t.astype(np.float16)
         inputs = {"pose2d": out["pose2d"]}
-        targets = {"mesh": out["mesh"] / 1000.0,
+        targets = {"mesh": mesh_t,
                    "lift_pose3d": out["lift_pose3d"],
                    "reg_pose3d": out["reg_pose3d"]}
         meta = {"mesh_valid": mesh_valid, "lift_pose3d_valid": lift_valid,

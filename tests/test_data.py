@@ -95,7 +95,7 @@ def test_h36m_getitem_contract(h36m_train):
     assert targets["mesh"].shape == (6890, 3)
     assert targets["lift_pose3d"].shape == (17, 3)
     assert targets["reg_pose3d"].shape == (17, 3)
-    assert meta["mesh_valid"].shape == (6890, 1)
+    assert meta["mesh_valid"].shape == (1, 1)  # per-sample broadcast mask
     # standardized input: zero mean, unit std per sample
     np.testing.assert_allclose(inputs["pose2d"].mean(0), 0.0, atol=1e-5)
     np.testing.assert_allclose(inputs["pose2d"].std(0), 1.0, atol=1e-3)
@@ -181,7 +181,7 @@ def test_batch_loader(h36m_train):
     inputs, targets, meta = batches[0]
     assert inputs["pose2d"].shape == (2, 17, 2)
     assert targets["mesh"].shape == (2, 6890, 3)
-    assert meta["mesh_valid"].shape == (2, 6890, 1)
+    assert meta["mesh_valid"].shape == (2, 1, 1)  # per-sample broadcast mask
 
 
 def test_loader_host_sharding(h36m_train):

@@ -5,6 +5,7 @@ import os.path as osp
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pose2mesh_release_tpu.body.synthetic import uv_sphere
@@ -274,3 +275,29 @@ def test_freihand_mano_train_and_codalab_dump(tmp_path):
     assert joints.shape == (len(eval_ds), 21, 3)
     assert verts.shape == (len(eval_ds), 778, 3)
     assert np.isfinite(joints).all() and np.isfinite(verts).all()
+
+
+def test_trainer_multi_step_dispatch_matches(tiny_setup, tmp_path):
+    """cfg.TPU.steps_per_dispatch > 1 (k batches stacked into one transfer
+    + one jitted k-step scan) must reproduce the k=1 epoch exactly: same
+    data order, same per-step rng (folded off state.step), same final
+    parameters."""
+    art, faces = tiny_setup
+    results = {}
+    for k in (1, 4):
+        cfg = _cfg(tmp_path / f"k{k}")
+        cfg.TRAIN.shuffle = False
+        cfg.TPU.steps_per_dispatch = k
+        model = Pose2Mesh(num_joint=J, posenet_hidden=32, blocks=TEST_BLOCKS)
+        tr = Trainer(cfg, datasets=[TinyDataset(10, art, faces, seed=0)],
+                     test_dataset=TinyDataset(4, art, faces, seed=1),
+                     model=model)
+        # 10 samples / batch 4 -> 2 full batches; k=4 exercises the
+        # shorter-than-k tail flush path too
+        mean = tr.train_epoch(1)
+        results[k] = (mean, jax.device_get(tr.state.params))
+    m1, p1 = results[1]
+    m4, p4 = results[4]
+    np.testing.assert_allclose(m1, m4, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-4, atol=1e-5), p1, p4)
