@@ -114,6 +114,13 @@ def main(batch=64):
     state, art, batch_d = jax.device_put((state, art, batch_d), dev)
 
     results = {}
+    # optional variant filter: P2M_PROFILE_ONLY="fwd_train,grad_train"
+    # skips the other (expensive-to-compile) rungs
+    only = os.environ.get("P2M_PROFILE_ONLY", "")
+    only = set(only.split(",")) if only else None
+
+    def want(name):
+        return only is None or name in only
 
     def report(name, secs):
         results[name] = round(secs * 1e3, 2)
@@ -155,10 +162,12 @@ def main(batch=64):
         return c + loss_of(s.params, s.batch_stats, a, _chained(c, bd), True,
                            rngs={"dropout": jax.random.PRNGKey(0)}) * 1e-30
 
-    report("fwd_eval3d", _measure(fwd_eval3d, jnp.float32(0.0),
-                                  state, art, batch_d))
-    report("fwd_train", _measure(fwd_train, jnp.float32(0.0),
-                                 state, art, batch_d))
+    if want("fwd_eval3d"):
+        report("fwd_eval3d", _measure(fwd_eval3d, jnp.float32(0.0),
+                                      state, art, batch_d))
+    if want("fwd_train"):
+        report("fwd_train", _measure(fwd_train, jnp.float32(0.0),
+                                     state, art, batch_d))
 
     # --- grad ladder (carry = params; add a tiny grad multiple so the scan
     # serializes and nothing hoists) ---
@@ -183,12 +192,15 @@ def main(batch=64):
         return add_grad(params, g)
 
     margs = (state.batch_stats, art, batch_d)
-    report("grad_eval", _measure(grad_eval, state.params, *margs,
-                                 small=2, large=8))
-    report("grad_train", _measure(grad_train, state.params, *margs,
-                                  small=2, large=8))
-    report("grad_vertex", _measure(grad_vertex, state.params, *margs,
-                                   small=2, large=8))
+    if want("grad_eval"):
+        report("grad_eval", _measure(grad_eval, state.params, *margs,
+                                     small=2, large=8))
+    if want("grad_train"):
+        report("grad_train", _measure(grad_train, state.params, *margs,
+                                      small=2, large=8))
+    if want("grad_vertex"):
+        report("grad_vertex", _measure(grad_vertex, state.params, *margs,
+                                       small=2, large=8))
 
     # --- optimizer alone ---
     grads0 = jax.tree.map(lambda p: jnp.full_like(p, 1e-8), state.params)
@@ -199,7 +211,9 @@ def main(batch=64):
         new_params = jax.tree.map(lambda p, u: p - 1e-9 * u, s.params, updates)
         return TrainState(new_params, s.batch_stats, new_opt, s.step + 1)
 
-    report("opt_only", _measure(opt_only, state, grads0, small=2, large=12))
+    if want("opt_only"):
+        report("opt_only", _measure(opt_only, state, grads0,
+                                    small=2, large=12))
 
     # --- full step ---
     def step_full(s, a, bd):
@@ -207,15 +221,17 @@ def main(batch=64):
                            jnp.bool_(True), jax.random.PRNGKey(1))
         return s2
 
-    report("step_full", _measure(step_full, state, art, batch_d,
-                                 small=2, large=8))
+    if want("step_full"):
+        report("step_full", _measure(step_full, state, art, batch_d,
+                                     small=2, large=8))
 
-    results["derived"] = {
-        "bn_dropout_ms": round(results["grad_train"] - results["grad_eval"], 2),
-        "face_losses_ms": round(results["grad_train"] - results["grad_vertex"], 2),
-        "optimizer_ms": round(results["step_full"] - results["grad_train"], 2),
-        "backward_ms": round(results["grad_train"] - results["fwd_train"], 2),
-    }
+    if only is None:
+        results["derived"] = {
+            "bn_dropout_ms": round(results["grad_train"] - results["grad_eval"], 2),
+            "face_losses_ms": round(results["grad_train"] - results["grad_vertex"], 2),
+            "optimizer_ms": round(results["step_full"] - results["grad_train"], 2),
+            "backward_ms": round(results["grad_train"] - results["fwd_train"], 2),
+        }
     print(json.dumps(results))
 
 
