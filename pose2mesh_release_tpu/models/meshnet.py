@@ -311,15 +311,26 @@ class ChebConv(nn.Module):
             w_basis = kernel.reshape(fin, self.K, self.fout)
             w_basis = w_basis.transpose(1, 0, 2).reshape(self.K * fin, self.fout)
             import os as _os2
+            kbn_env = _os2.environ.get("P2M_KERNEL_BN", "1") == "1"
             kernel_stats = (train and self.use_bn and not folded
-                            and fold_in is None
-                            and _os2.environ.get("P2M_KERNEL_BN", "1") == "1")
+                            and fold_in is None and kbn_env)
             if fold_pallas:
                 # previous conv's BN-apply + ReLU folded into this conv's
-                # in-kernel input read (P2M_FOLD_BN training path)
-                y = fused_cheby_project_folded(
-                    op, x, w_basis.astype(self.dtype),
-                    bias.astype(self.dtype), fold_in[0], fold_in[1])
+                # in-kernel input read (P2M_FOLD_BN training path); with
+                # kernel BN on, this conv's own batch-stat sums come out
+                # of the same kernel
+                if train and self.use_bn and not folded and kbn_env:
+                    from ..ops.pallas_cheby import (
+                        fused_cheby_project_folded_stats,
+                    )
+                    y, kbn_s, kbn_s2 = fused_cheby_project_folded_stats(
+                        op, x, w_basis.astype(self.dtype),
+                        bias.astype(self.dtype), fold_in[0], fold_in[1])
+                    kstats = (kbn_s, kbn_s2)
+                else:
+                    y = fused_cheby_project_folded(
+                        op, x, w_basis.astype(self.dtype),
+                        bias.astype(self.dtype), fold_in[0], fold_in[1])
             elif kernel_stats:
                 # training BN statistics emitted by the kernel itself:
                 # the separate stats reduction over y (an extra HBM read
@@ -481,12 +492,16 @@ class MeshNet(nn.Module):
             input_x = x
             has_skip = 0 < i < n_blocks - 1
             pack_g = 1  # current lane-packing factor of x (flat path)
-            # P2M_FOLD_BN=1: within a block, each conv's BN-apply + ReLU is
-            # folded into the NEXT conv's in-kernel input read (training
-            # path); block-boundary outputs (consumed by skips/upsamples)
-            # still materialize normally
+            # P2M_FOLD_BN (default ON since round 5): within a block, each
+            # conv's BN-apply + ReLU folds into the NEXT conv's in-kernel
+            # input read (training path); block-boundary outputs (consumed
+            # by skips/upsamples) still materialize normally.  Measured
+            # neutral in round 4 (the halo-transform redundancy canceled
+            # the saved pointwise passes) but a clear win once the BN
+            # batch stats also come from the kernel (P2M_KERNEL_BN):
+            # smpl_train 47.7 -> 45.1 ms/batch64 (BENCH_NOTES_r5.md §1.3)
             import os as _os
-            bn_fold = (_os.environ.get("P2M_FOLD_BN", "0") == "1"
+            bn_fold = (_os.environ.get("P2M_FOLD_BN", "1") == "1"
                        and not block_flat and not graph_sharded
                        and not (self.inference_fused and not train)
                        and self.use_pallas and self.K == 3

@@ -1171,6 +1171,62 @@ def _fused_fold_bwd(T, res, g):
 _fused_fold.defvjp(_fused_fold_fwd, _fused_fold_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_fold_stats(T, band_val, x, W, b, scale, shift):
+    """Fold-consuming conv (input = relu(x*scale + shift), applied on the
+    loaded tiles) that ALSO emits its own BN batch-stat sums — the fold
+    chain's follow-up convs then get kernel statistics too."""
+    return _fused_call(band_val, x, W, b, T, in_fold=(scale, shift),
+                       emit_stats=True)
+
+
+def _fused_fold_stats_fwd(T, band_val, x, W, b, scale, shift):
+    y, s, s2 = _fused_call(band_val, x, W, b, T, in_fold=(scale, shift),
+                           emit_stats=True)
+    return (y, s, s2), (band_val, x, W, scale, shift, y)
+
+
+def _fused_fold_stats_bwd(T, res, cts):
+    band_val, x, W, scale, shift, y = res
+    gy, gs, gs2 = cts
+    g = (gy.astype(jnp.float32)
+         + gs[None, None, :]
+         + 2.0 * y.astype(jnp.float32) * gs2[None, None, :]).astype(y.dtype)
+    gx, dW_full, db, ds, dc = _fused_bwd_call(
+        band_val, g, x, W, T, in_fold=(scale.astype(x.dtype),
+                                       shift.astype(x.dtype)))
+    return (jnp.zeros_like(band_val), gx, dW_full.astype(W.dtype),
+            db.astype(W.dtype), ds.astype(scale.dtype),
+            dc.astype(shift.dtype))
+
+
+_fused_fold_stats.defvjp(_fused_fold_stats_fwd, _fused_fold_stats_bwd)
+
+
+def fused_cheby_project_folded_stats(op: LevelOperator, x_raw: jax.Array,
+                                     W: jax.Array, b: jax.Array,
+                                     scale: jax.Array, shift: jax.Array):
+    """fused_cheby_project_folded + kernel-emitted BN batch-stat sums:
+    returns (y, sum_y, sum_y2) over the real V*B rows.  Pad lanes carry
+    zero scale/shift and zero weights, so their sums are exactly zero and
+    slicing is safe."""
+    F = x_raw.shape[-1]
+    Fout = W.shape[1]
+    Fp, Fop = _pad128(F), _pad128(Fout)
+    if Fp != F or Fop != Fout:
+        xp = jnp.pad(x_raw, ((0, 0), (0, 0), (0, Fp - F))) if Fp != F else x_raw
+        Wp = W.reshape(3, F, Fout)
+        Wp = jnp.pad(Wp, ((0, 0), (0, Fp - F), (0, Fop - Fout)))
+        bp = jnp.pad(b, (0, Fop - Fout))
+        sp = jnp.pad(scale, (0, Fp - F))
+        cp = jnp.pad(shift, (0, Fp - F))
+        y, s, s2 = _fused_fold_stats(op.block_size, op.band_val, xp,
+                                     Wp.reshape(3 * Fp, Fop), bp, sp, cp)
+        return y[..., :Fout], s[:Fout], s2[:Fout]
+    return _fused_fold_stats(op.block_size, op.band_val, x_raw, W, b,
+                             scale, shift)
+
+
 def fused_cheby_project_folded(op: LevelOperator, x_raw: jax.Array,
                                W: jax.Array, b: jax.Array,
                                scale: jax.Array, shift: jax.Array) -> jax.Array:

@@ -532,3 +532,49 @@ def test_kernel_bn_model_parity(monkeypatch):
         np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3), bs0, bs1)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3), g0, g1)
+
+
+def test_fold_plus_kernel_bn_model_parity(monkeypatch):
+    """P2M_FOLD_BN=1 + P2M_KERNEL_BN=1 (fold-consuming convs emit their own
+    batch-stat sums from the fused kernel) must match the plain
+    nn.BatchNorm path — outputs, gradients, updated batch_stats."""
+    from pose2mesh_release_tpu.models.meshnet import MeshNet
+
+    _, faces = uv_sphere(770)
+    pyr = build_pyramid(faces, joint_num=7, skeleton=[(0, 1), (1, 2)],
+                        levels=4)
+    art = pack_pyramid(pyr, dense_threshold=128, sparse_kind="band")
+    n_mesh = len(art.mesh_ops)
+    # 3-conv blocks so the fold chain (conv_i -> conv_{i+1}) engages
+    blocks = ((5, 16, 16),) + tuple((16, 16, 16) for _ in range(n_mesh)) \
+        + ((16, 8, 3),)
+    model = MeshNet(blocks=blocks)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 7, 5)).astype(np.float32))
+
+    monkeypatch.setenv("P2M_FOLD_BN", "0")
+    monkeypatch.setenv("P2M_KERNEL_BN", "0")
+    variables = model.init(jax.random.PRNGKey(0), art, x, True)
+
+    def loss(params, fold, kbn):
+        monkeypatch.setenv("P2M_FOLD_BN", fold)
+        monkeypatch.setenv("P2M_KERNEL_BN", kbn)
+        out, mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            art, x, True, mutable=["batch_stats"])
+        return (out ** 2).mean(), (out, mut["batch_stats"])
+
+    outs = {}
+    for fold, kbn in (("0", "0"), ("1", "1")):
+        (l, (out, bs)), g = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], fold, kbn)
+        outs[(fold, kbn)] = (l, out, bs, g)
+    l0, out0, bs0, g0 = outs[("0", "0")]
+    l1, out1, bs1, g1 = outs[("1", "1")]
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3), bs0, bs1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3), g0, g1)
