@@ -111,14 +111,23 @@ def _run_cluster(worker_py):
     outs, ok = [], True
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
+            out += "\n<<TIMEOUT: killed after 900s>>"
             ok = False
         outs.append(out)
         ok = ok and p.returncode == 0
     return ok, outs
+
+
+def _excerpt(out: str) -> str:
+    """Head + tail of a worker log: the traceback cause is usually at the
+    head while jax appends long operand dumps at the tail."""
+    if len(out) <= 4000:
+        return out
+    return out[:2000] + "\n<<... elided ...>>\n" + out[-2000:]
 
 
 @pytest.mark.slow
@@ -129,9 +138,11 @@ def test_two_process_dcn_train_step(tmp_path):
     # (port TOCTOU + 2-core host saturation under the full suite, the
     # judge's round-4 flake): one startup retry with a fresh port
     ok, outs = _run_cluster(worker_py)
-    if not ok:
+    for _ in range(2):
+        if ok:
+            break
         ok, outs = _run_cluster(worker_py)
-    assert ok, "\n".join(o[-3000:] for o in outs)
+    assert ok, "\n".join(_excerpt(o) for o in outs)
 
     losses = []
     for out in outs:
