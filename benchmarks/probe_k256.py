@@ -35,11 +35,17 @@ def probe(M, K, C, reps=64):
     dt = jnp.bfloat16
 
     def kernel(a_ref, b_ref, o_ref):
+        # CHAIN each rep through the next operand (cur depends on the
+        # previous product): no two dots are identical, so neither CSE nor
+        # reordering can collapse the sequence (the r%4-rotation form of
+        # this probe produced only 4 distinct dots for 64 reps)
+        cur = a_ref[0:M, :]
         acc = jnp.zeros((M, C), jnp.float32)
         for r in range(reps):
-            # rotate the A operand a little so the compiler can't CSE
-            acc += jnp.dot(a_ref[pl.ds((r % 4) * M, M), :], b_ref[:],
-                           preferred_element_type=jnp.float32)
+            y = jnp.dot(cur, b_ref[:], preferred_element_type=jnp.float32)
+            acc += y
+            cur = (a_ref[pl.ds((r % 4) * M, M), :]
+                   + y[:, :K].astype(dt) * jnp.asarray(1e-30, dt))
         o_ref[:, :] = acc.astype(dt)
 
     rng = np.random.default_rng(0)

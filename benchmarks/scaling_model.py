@@ -104,14 +104,10 @@ def _axis_of(gs: int, data_axis: int, graph_axis: int) -> str:
 def flagship_census(data_axis: int = 4, graph_axis: int = 2) -> dict:
     """Compile the flagship (4,2) step (same construction as
     dryrun_multichip -> warm cache) and classify its collectives."""
+    from _flagship import lowered_step_hlo
     from __graft_entry__ import _build_flagship
-    from pose2mesh_release_tpu.core.optim import make_preconditioner
-    from pose2mesh_release_tpu.core.train import TrainState, make_train_step
     from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
     from pose2mesh_release_tpu.parallel.mesh import make_mesh
-    from pose2mesh_release_tpu.parallel.sharding import (
-        shard_artifact, shard_batch, shard_state,
-    )
 
     n = data_axis * graph_axis
     devices = jax.devices("cpu")[:n]
@@ -120,32 +116,9 @@ def flagship_census(data_axis: int = 4, graph_axis: int = 2) -> dict:
     model = Pose2Mesh(num_joint=model.num_joint, dtype=jnp.bfloat16,
                       spmd_mesh=mesh)
     B = 2 * data_axis
-    rng = np.random.default_rng(0)
-    V, J = art.num_vertices, art.joint_num
-    batch = {
-        "pose2d": jnp.asarray(rng.standard_normal((B, J, 2)), jnp.float32),
-        "mesh": jnp.asarray(rng.standard_normal((B, V, 3)) * 0.1, jnp.float32),
-        "mesh_valid": jnp.ones((B, V, 3), jnp.float32),
-        "reg_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100,
-                                  jnp.float32),
-        "reg_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
-        "lift_pose3d": jnp.asarray(rng.standard_normal((B, J, 3)) * 100,
-                                   jnp.float32),
-        "lift_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
-    }
-    j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
-    j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
-    variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"], False)
-    n_params = sum(int(np.prod(x.shape))
-                   for x in jax.tree.leaves(variables["params"]))
-    tx = make_preconditioner("rmsprop")
-    state = TrainState.create(variables, tx)
-    step = jax.jit(make_train_step(model, tx, j_reg))
     t0 = time.time()
-    hlo = step.lower(
-        shard_state(mesh, state), shard_artifact(mesh, art),
-        shard_batch(mesh, batch), jnp.float32(1e-3), jnp.bool_(True),
-        jax.random.PRNGKey(1)).compile().as_text()
+    compiled, n_params = lowered_step_hlo(art, model, mesh, B)
+    hlo = compiled.as_text()
     print(f"# flagship ({data_axis},{graph_axis}) compile/load "
           f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
@@ -190,7 +163,6 @@ def cost_model(census: dict) -> dict:
     for (hosts, data_axis, graph_axis, per_shard_batch) in (
             (1, 4, 2, 64), (1, 8, 1, 64), (2, 8, 1, 64), (2, 4, 2, 64),
             (2, 8, 1, 16)):
-        n_chips = data_axis * graph_axis * (1 if hosts == 1 else 1)
         # per-chip compute: batch scale * graph-sharding scale
         t_comp = STEP_MS_1CHIP * (per_shard_batch / BATCH_1CHIP) * (
             (1 - band_share) + band_share / graph_axis)
@@ -237,14 +209,10 @@ def cost_model(census: dict) -> dict:
 def small_config_anomalies() -> dict:
     """Start/done-aware collective counting on the small config —
     explains COLLECTIVES_r4's 38->66 ppermutes and 35->9 all-reduces."""
+    from _flagship import lowered_step_hlo
     from __graft_entry__ import _build_small
-    from pose2mesh_release_tpu.core.optim import make_preconditioner
-    from pose2mesh_release_tpu.core.train import TrainState, make_train_step
     from pose2mesh_release_tpu.models.pose2mesh import Pose2Mesh
     from pose2mesh_release_tpu.parallel.mesh import make_mesh
-    from pose2mesh_release_tpu.parallel.sharding import (
-        shard_artifact, shard_batch, shard_state,
-    )
 
     out = []
     for graph_axis in (2, 4, 8):
@@ -254,31 +222,7 @@ def small_config_anomalies() -> dict:
         model = Pose2Mesh(num_joint=model.num_joint, blocks=model.blocks,
                           spmd_mesh=mesh)
         B = max(2 * (8 // graph_axis), 2)
-        rng = np.random.default_rng(0)
-        V, J = art.num_vertices, art.joint_num
-        batch = {
-            "pose2d": jnp.asarray(rng.standard_normal((B, J, 2)), jnp.float32),
-            "mesh": jnp.asarray(rng.standard_normal((B, V, 3)) * 0.1,
-                                jnp.float32),
-            "mesh_valid": jnp.ones((B, V, 3), jnp.float32),
-            "reg_pose3d": jnp.asarray(
-                rng.standard_normal((B, J, 3)) * 100, jnp.float32),
-            "reg_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
-            "lift_pose3d": jnp.asarray(
-                rng.standard_normal((B, J, 3)) * 100, jnp.float32),
-            "lift_pose3d_valid": jnp.ones((B, J, 3), jnp.float32),
-        }
-        j_reg = jnp.asarray(rng.random((J, V)), jnp.float32)
-        j_reg = j_reg / j_reg.sum(axis=1, keepdims=True)
-        variables = model.init(jax.random.PRNGKey(0), art, batch["pose2d"],
-                               False)
-        tx = make_preconditioner("rmsprop")
-        state = TrainState.create(variables, tx)
-        step = jax.jit(make_train_step(model, tx, j_reg))
-        compiled = step.lower(
-            shard_state(mesh, state), shard_artifact(mesh, art),
-            shard_batch(mesh, batch), jnp.float32(1e-3), jnp.bool_(True),
-            jax.random.PRNGKey(1)).compile()
+        compiled, _ = lowered_step_hlo(art, model, mesh, B)
         hlo = compiled.as_text()
         flops = None
         try:

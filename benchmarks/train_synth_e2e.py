@@ -282,8 +282,8 @@ def _posenet_companion(steps, batch, n_train, n_eval, chunk, train, evald,
             cur_lr = lr * (0.1 if pn_done >= int(pn_steps * 0.8) else 1.0)
             pn_state, _ = pn_chunk(pn_state, p2s, p3s, jnp.float32(cur_lr))
             pn_done += chunk
-            if pn_done % (pn_steps // 4 // chunk * chunk) == 0 \
-                    or pn_done >= pn_steps:
+            pn_eval_every = max(chunk, pn_steps // 4 // chunk * chunk)
+            if pn_done % pn_eval_every == 0 or pn_done >= pn_steps:
                 e = pn_evaluate(pn_state)
                 pn_curve.append({"step": pn_done, "mpjpe_mm": round(e, 2)})
                 print(f"# posenet step {pn_done}: MPJPE {e:.1f} mm",

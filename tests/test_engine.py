@@ -284,20 +284,22 @@ def test_trainer_multi_step_dispatch_matches(tiny_setup, tmp_path):
     parameters."""
     art, faces = tiny_setup
     results = {}
-    for k in (1, 4):
+    for k in (1, 2):
         cfg = _cfg(tmp_path / f"k{k}")
         cfg.TRAIN.shuffle = False
         cfg.TPU.steps_per_dispatch = k
         model = Pose2Mesh(num_joint=J, posenet_hidden=32, blocks=TEST_BLOCKS)
-        tr = Trainer(cfg, datasets=[TinyDataset(10, art, faces, seed=0)],
+        tr = Trainer(cfg, datasets=[TinyDataset(12, art, faces, seed=0)],
                      test_dataset=TinyDataset(4, art, faces, seed=1),
                      model=model)
-        # 10 samples / batch 4 -> 2 full batches; k=4 exercises the
-        # shorter-than-k tail flush path too
+        # 12 samples / batch 4 -> 3 full batches; k=2 runs ONE stacked
+        # 2-step scan dispatch (the path under test) AND the 1-batch tail
         mean = tr.train_epoch(1)
+        if k == 2:
+            assert tr._multi_step is not None
         results[k] = (mean, jax.device_get(tr.state.params))
     m1, p1 = results[1]
-    m4, p4 = results[4]
+    m4, p4 = results[2]
     np.testing.assert_allclose(m1, m4, rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=1e-4, atol=1e-5), p1, p4)
