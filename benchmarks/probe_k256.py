@@ -8,6 +8,14 @@ Also probes K=320 (2.5 quanta) to see the quantization shape directly.
 
 Methodology: scan-chained matmuls inside one jitted program, small/large
 differencing (relay-safe, bench.py notes).
+
+CAVEAT: even with the per-rep chained operand (no CSE), this probe's
+ABSOLUTE rates over-read (K=128 measured above the chip's bf16 peak —
+the in-kernel chain still overlaps more than the model assumes).  Treat
+only the RATIOS as evidence; the committed K-quantization numbers in
+BENCH_NOTES_r5.md §1.1 come from the validated benchmarks/probe_shapes.py
+(fori-loop form).  Measured here as corroboration: K=320 costs >= K=384
+(both 3 passes), K=256 is ~1.7x cheaper than K=384 per matmul.
 """
 from __future__ import annotations
 

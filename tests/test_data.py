@@ -518,3 +518,23 @@ def test_crop_cam_to_orig_params_roundtrip():
     s_o, tx_o, ty_o = crop_cam_to_orig_params(cam, bbox)
     p_orig = pts * s_o + np.array([tx_o, ty_o])
     np.testing.assert_allclose(p_orig, p_orig_expected, rtol=1e-5, atol=1e-4)
+
+
+def test_mesh_f16_transfer_optin(h36m_root, smpl, monkeypatch):
+    """P2M_MESH_XFER_F16=1: get_batch ships f16 mesh targets (<= 1 mm ulp
+    at body scale); the train step upcasts on device (core/train.py)."""
+    monkeypatch.setenv("P2M_MESH_XFER_F16", "1")
+    ds = Human36M(
+        "train", data_dir=h36m_root, mesh_model=smpl, debug=True,
+        build_graph=False, input_joint_name="human36",
+    )
+    ds.is_train = False  # deterministic pipeline: no random flip/rot
+    inputs, targets, meta = ds.get_batch([0, 1])
+    assert targets["mesh"].dtype == np.float16
+    assert meta["mesh_valid"].shape == (2, 1, 1)
+    monkeypatch.delenv("P2M_MESH_XFER_F16")
+    _, t32, _ = ds.get_batch([0, 1])
+    assert t32["mesh"].dtype == np.float32
+    # f16 quantization stays under 1 mm (meters scale)
+    np.testing.assert_allclose(targets["mesh"].astype(np.float32),
+                               t32["mesh"], atol=1e-3)
