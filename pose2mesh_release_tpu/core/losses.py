@@ -63,6 +63,63 @@ def _corner(pred, faces, c, face_inv):
     return pred[:, faces[:, c]]
 
 
+@jax.custom_vjp
+def face_take3_band(pred: jax.Array, faces: jax.Array, perm: jax.Array,
+                    sel: jax.Array, vgather: jax.Array) -> jax.Array:
+    """All three face corners in one gather — (B, F, 3corners, 3coords) —
+    with a BANDED-MATMUL VJP (round-5 replacement for the autodiff
+    scatter-add, measured at 6.3 ms/step of the loss stack):
+
+    the (face, corner) cotangent rows are reordered by the corner vertex's
+    128-row DEVICE tile (graphs.artifact.face_band_tables' `perm`, pad
+    slots hitting a zero row) and each vertex tile's gradient is ONE
+    (T, W) @ (W, B*3) matmul against the precomputed 0/1 selector `sel`
+    (nt, T, W) — contiguous MXU work, no scatter anywhere.  `vgather`
+    (the artifact's original-vertex -> device-position map) carries the
+    accumulated gradient back to pred's ORIGINAL vertex order."""
+    return jnp.take(pred, faces, axis=1)
+
+
+def _ft3_fwd(pred, faces, perm, sel, vgather):
+    return jnp.take(pred, faces, axis=1), (perm, sel, vgather, pred.shape)
+
+
+def _ft3_bwd(res, g):
+    perm, sel, vgather, pshape = res
+    B, V, _ = pshape
+    F = g.shape[1]
+    nt, T, W = sel.shape
+    # corner-major cotangent rows (3F, B*3): row = c*F + f, plus a zero
+    # pad row the pad slots of `perm` select
+    rows = g.transpose(2, 1, 0, 3).reshape(3 * F, B * 3)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, B * 3), rows.dtype)], axis=0)
+    gs = jnp.take(rows, perm, axis=0).reshape(nt, W, B * 3)
+    out = jnp.einsum("tij,tjk->tik", sel, gs,
+                     preferred_element_type=jnp.float32)
+    ddev = out.reshape(nt * T, B, 3)  # rows = DEVICE positions
+    # back to pred's original vertex order: orig i sits at device vg[i]
+    dpred = jnp.take(ddev, vgather, axis=0).transpose(1, 0, 2)
+    if dpred.shape != pshape:  # defensive: tables must match pred's V
+        raise ValueError(f"face_sel for nt*T={nt*T} applied to {pshape}")
+    return dpred.astype(g.dtype), None, None, None, None
+
+
+face_take3_band.defvjp(_ft3_fwd, _ft3_bwd)
+
+
+def _face_corners(pred, faces, face_inv=(), face_band=None):
+    """(p0, p1, p2) corner gathers shared by the normal and edge losses;
+    routes through the banded-matmul VJP when the artifact carries the
+    tables (and P2M_FACE_BAND != 0), else the per-corner paths."""
+    import os
+    if (face_band is not None and face_band[1].size
+            and os.environ.get("P2M_FACE_BAND", "1") == "1"):
+        c = face_take3_band(pred, faces, *face_band)
+        return c[:, :, 0], c[:, :, 1], c[:, :, 2]
+    return tuple(_corner(pred, faces, c, face_inv) for c in range(3))
+
+
 def coord_l1(pred: jax.Array, target: jax.Array, valid: jax.Array | None = None) -> jax.Array:
     """Masked L1 (loss.py:10-23): mean over ALL elements with masked entries
     contributing zero (the mask scales both operands)."""
@@ -91,15 +148,16 @@ def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 
 def normal_vector_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array,
-                       face_inv: Tuple[jax.Array, ...] = ()) -> jax.Array:
+                       face_inv: Tuple[jax.Array, ...] = (),
+                       corners=None) -> jax.Array:
     """Surface-normal consistency (loss.py:62-88): |cos| between predicted
     edge vectors and ground-truth face normals, averaged over faces.
 
-    face_inv: optional per-corner inverse tables (the pyramid artifact's
-    `face_inv`) switching the pred gathers to the scatter-free VJP."""
-    p0 = _corner(pred, faces, 0, face_inv)
-    p1 = _corner(pred, faces, 1, face_inv)
-    p2 = _corner(pred, faces, 2, face_inv)
+    corners: optional precomputed (p0, p1, p2) gathers (shared with the
+    edge loss); face_inv: optional per-corner inverse tables switching the
+    per-corner gathers to the (slower, kept for A/B) gather-VJP."""
+    p0, p1, p2 = corners if corners is not None else _face_corners(
+        pred, faces, face_inv)
 
     v1o = _normalize(p1 - p0)
     v2o = _normalize(p2 - p0)
@@ -117,9 +175,11 @@ def normal_vector_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array,
 
 
 def edge_length_loss(pred: jax.Array, gt: jax.Array, faces: jax.Array,
-                     face_inv: Tuple[jax.Array, ...] = ()) -> jax.Array:
+                     face_inv: Tuple[jax.Array, ...] = (),
+                     corners=None) -> jax.Array:
     """Edge-length preservation (loss.py:91-114)."""
-    p = [_corner(pred, faces, c, face_inv) for c in range(3)]
+    p = list(corners) if corners is not None else [
+        _corner(pred, faces, c, face_inv) for c in range(3)]
     f = [faces[:, c] for c in range(3)]
 
     def elen2(xa, xb):
@@ -187,6 +247,7 @@ def pose2mesh_loss(
     joint_weight: float = 1e-3,
     use_edge_loss: jax.Array | bool = False,
     face_inv: Tuple[jax.Array, ...] = (),
+    face_band=None,
 ) -> Dict[str, jax.Array]:
     """Full training objective (base.py:134-143).
 
@@ -196,10 +257,13 @@ def pose2mesh_loss(
     TRAIN.edge_loss_start); pass a traced bool to keep one compiled step.
     """
     l_vert = coord_l1(pred_mesh, targets["mesh"], targets["mesh_valid"])
+    # ONE shared corner gather feeds both face losses (banded-matmul VJP
+    # when the artifact carries face_perm/face_sel)
+    corners = _face_corners(pred_mesh, faces, face_inv, face_band)
     l_norm = normal_weight * normal_vector_loss(
-        pred_mesh, targets["mesh"], faces, face_inv)
+        pred_mesh, targets["mesh"], faces, corners=corners)
     l_edge = edge_weight * edge_length_loss(
-        pred_mesh, targets["mesh"], faces, face_inv)
+        pred_mesh, targets["mesh"], faces, corners=corners)
     l_edge = jnp.where(use_edge_loss, l_edge, 0.0)
     l_reg = joint_weight * coord_l1(
         pred_reg_pose, targets["reg_pose3d"], targets["reg_pose3d_valid"]

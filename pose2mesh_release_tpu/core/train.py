@@ -91,13 +91,14 @@ def make_train_step(
             )
             # face_inv deliberately NOT passed: the ELL-inverse gather VJP
             # measured 16.0 ms vs 6.3 ms for plain autodiff scatter on the
-            # real chip (benchmarks/profile_losses.py, round 4) — TPU
-            # scatters over the face lists beat the (B, V, K, 3) inverse
-            # gathers.  face_take + the tables remain available for A/B.
+            # real chip (benchmarks/profile_losses.py, round 4).  The
+            # round-5 BANDED tables (face_perm/face_sel) replace the
+            # scatter entirely with tile-local MXU matmuls.
             losses = pose2mesh_loss(
                 mesh, pose3d, reg_pose, batch, art.faces,
                 normal_weight=normal_weight, edge_weight=edge_weight,
                 joint_weight=joint_weight, use_edge_loss=use_edge_loss,
+                face_band=(art.face_perm, art.face_sel, art.vertex_gather),
             )
             return losses["total"], (losses, mutated["batch_stats"])
 

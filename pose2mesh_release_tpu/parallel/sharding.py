@@ -78,6 +78,8 @@ def shard_artifact(mesh: Mesh, art: PyramidArtifact) -> PyramidArtifact:
         face_inv=tuple(put(t) for t in art.face_inv),
         joint_num=art.joint_num,
         num_vertices=art.num_vertices,
+        face_perm=put(art.face_perm),
+        face_sel=put(art.face_sel),
     )
 
 

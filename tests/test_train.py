@@ -262,3 +262,50 @@ def test_face_take_vjp_matches_autodiff():
         np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_face_band_scatter_parity():
+    """face_take3_band (banded 0/1-selector matmul VJP) must reproduce the
+    plain autodiff gather/scatter exactly: forward corners AND the mesh
+    gradient through the full normal+edge loss stack."""
+    import jax
+
+    from pose2mesh_release_tpu.body.synthetic import uv_sphere
+    from pose2mesh_release_tpu.core.losses import (
+        edge_length_loss, face_take3_band, normal_vector_loss,
+    )
+    from pose2mesh_release_tpu.graphs.artifact import face_band_tables
+
+    _, faces_np = uv_sphere(770)
+    faces_np = faces_np.astype(np.int32)
+    V = 770
+    rng = np.random.default_rng(21)
+    # a non-identity device order exercises the tile mapping honestly
+    vg = rng.permutation(V).astype(np.int32)
+    perm, sel = face_band_tables(faces_np, vg, V, T=128)
+    assert sel.size, "tables must build for the test mesh"
+    vgj = jnp.asarray(vg)
+    pred = jnp.asarray(rng.standard_normal((3, V, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((3, V, 3)).astype(np.float32))
+    faces = jnp.asarray(faces_np)
+
+    c = face_take3_band(pred, faces, perm, sel, vgj)
+    np.testing.assert_array_equal(np.asarray(c),
+                                  np.asarray(pred[:, faces_np]))
+
+    def loss_band(p):
+        cs = face_take3_band(p, faces, perm, sel, vgj)
+        corners = (cs[:, :, 0], cs[:, :, 1], cs[:, :, 2])
+        return (normal_vector_loss(p, gt, faces, corners=corners)
+                + edge_length_loss(p, gt, faces, corners=corners))
+
+    def loss_plain(p):
+        return (normal_vector_loss(p, gt, faces)
+                + edge_length_loss(p, gt, faces))
+
+    np.testing.assert_allclose(float(loss_band(pred)),
+                               float(loss_plain(pred)), rtol=1e-6)
+    g_band = jax.grad(loss_band)(pred)
+    g_plain = jax.grad(loss_plain)(pred)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
