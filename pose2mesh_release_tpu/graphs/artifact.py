@@ -499,8 +499,10 @@ def face_band_tables(faces_np: np.ndarray, vertex_gather: np.ndarray,
     empty = (jnp.zeros((0,), jnp.int32), jnp.zeros((0, 0, 0), jnp.float32))
     if F == 0:
         return empty
-    nt = _cdiv(num_v, T)
     dev = np.asarray(vertex_gather)[faces_np]          # (F, 3) device pos
+    # tree-ordered artifacts keep fake slots: device positions run past
+    # num_v, so the tile grid must cover the LARGEST position
+    nt = _cdiv(max(num_v, int(dev.max()) + 1), T)
     # corner-major cotangent row index: row = c*F + f
     rows = (np.arange(3)[None, :] * F + np.arange(F)[:, None]).reshape(-1)
     pos = dev.reshape(-1)
